@@ -1,0 +1,31 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
+# exercised without TPU hardware (SURVEY.md §4 oracle (d)).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+REFERENCE_DIR = "/root/reference"
+LENS_RF50 = f"{REFERENCE_DIR}/lenses/rf50mm/lens.json"
+LENS_50F28 = f"{REFERENCE_DIR}/lenses/50mm_f2.8/lens.json"
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens", "optics_goldens.npz")
+
+
+@pytest.fixture(scope="session")
+def rf50mm():
+    from aadff_tpu.optics import Lens
+
+    return Lens(LENS_RF50, sensor_res=(480, 640))
+
+
+@pytest.fixture(scope="session")
+def goldens():
+    import numpy as np
+
+    return np.load(GOLDENS)
