@@ -104,6 +104,19 @@ def main():
         out[f"{key}_fi_pointc"] = pointc.numpy()
         out[f"{key}_fi_psf"] = psf.numpy()
 
+        # full psf_diff golden at high spp (MC noise ~1/sqrt(spp) per cell)
+        if lens_name == "rf50mm":
+            lens.refocus(-2400.0)
+            torch.manual_seed(7)
+            pts = torch.tensor(
+                [[0.0, 0.0, -2400.0], [0.6, 0.6, -5000.0], [-0.9, 0.3, -800.0]]
+            )
+            psf = lens.psf(points=pts, ks=11, spp=32768)
+            out[f"{key}_psf_diff"] = psf.numpy()
+            out[f"{key}_psf_diff_state"] = np.asarray(
+                [lens.d_sensor, lens.hfov, lens.fnum]
+            )
+
         # refocus golden: d_sensor after refocusing to a few depths
         for depth in [-500.0, -2400.0, -20000.0]:
             lens2 = Lensgroup(
