@@ -1,0 +1,421 @@
+"""PSF surrogate network: training, evaluation, and focal-stack rendering.
+
+TPU-native rewrite of `deeplens/psfnet.py`.  The reference couples the
+surrogate to the lens by inheritance (`PSFNet(Lensgroup)`, psfnet.py:14); here
+it is composition + delegation: `PSFNet` owns a `Lens` and Flax `MLP` params,
+and every hot path (training step with on-the-fly ray-traced labels, per-pixel
+render) is one fused jitted function.
+
+Key performance differences from the reference:
+* `refocus` per training iteration is memoised (20 discrete focus distances ->
+  20 cache entries; reference re-traces 2048 rays + O(M^2) pupil solve each
+  iteration, psfnet.py:148 -> optics.py:1155-1180).
+* label generation (ray tracing) + MLP forward/backward run in a single jit on
+  device — no host round-trips.
+* render never materialises the unfold buffer (see ops/render.py).
+"""
+from __future__ import annotations
+
+import functools
+import logging
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..constants import DEFAULT_WAVE, DMAX, DMIN, GEO_SPP
+from ..ops.render import local_psf_render
+from ..optics.lens import Lens
+from ..optics.psf import _psf_impl, lens_psf
+from .arch import MLP, MLPConv
+from .convert import torch_mlp_to_flax
+
+
+class PSFNet:
+    """Lens + implicit PSF representation (reference psfnet.py:14-481)."""
+
+    def __init__(self, filename, model_name="mlp", kernel_size=11,
+                 sensor_res=(512, 512), seed=0):
+        self.lens = Lens(filename, sensor_res=sensor_res, seed=seed)
+        self.in_features = 4
+        self.kernel_size = kernel_size
+        self.model_name = model_name
+
+        # Training settings (reference psfnet.py:26-38)
+        self.spp = 4096
+        self.patch_size = 64
+        self.psf_grid = [sensor_res[0] // self.patch_size, sensor_res[1] // self.patch_size]
+        self.d_max = -DMAX
+        self.d_min = -DMIN
+        self.foc_d_arr = np.array(
+            [-500, -600, -700, -800, -900,
+             -1000, -1250, -1500, -1750, -2000,
+             -2500, -3000, -4000, -5000, -6000,
+             -8000, -10000, -12000, -15000, -20000], dtype=np.float64,
+        )
+        self.foc_z_arr = (self.foc_d_arr - self.d_min) / (self.d_max - self.d_min)
+
+        self._np_rng = np.random.default_rng(seed)
+        self._key = jax.random.PRNGKey(seed + 17)
+        self.init_net()
+        self._render_jit = None
+
+    # -- delegate lens API (refocus, entrance_pupil, trace, ...) ------------
+    def __getattr__(self, name):
+        lens = object.__getattribute__(self, "__dict__").get("lens")
+        if lens is not None and hasattr(lens, name):
+            return getattr(lens, name)
+        raise AttributeError(name)
+
+    def next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # ------------------------------------------------------------------
+    # Network init / IO  (reference psfnet.py:44-76)
+    # ------------------------------------------------------------------
+    def init_net(self):
+        ks = self.kernel_size
+        if self.model_name == "mlp":
+            self.model = MLP(in_features=4, out_features=ks**2,
+                             hidden_features=256, hidden_layers=8)
+            dummy = jnp.zeros((1, 4), jnp.float32)
+        elif self.model_name == "mlpconv":
+            self.model = MLPConv(in_features=2, ks=max(ks, 128))
+            dummy = jnp.zeros((1, 2), jnp.float32)
+        else:
+            raise ValueError("Unsupported PSF network architecture.")
+        self.variables = self.model.init(self.next_key(), dummy)
+
+    def load_net(self, net_path):
+        """Load a pretrained network: torch .pkl (reference format) or .msgpack."""
+        if net_path.endswith(".pkl"):
+            self.variables = jax.tree.map(jnp.asarray, torch_mlp_to_flax(net_path))
+        else:
+            from flax.serialization import from_bytes
+
+            with open(net_path, "rb") as f:
+                self.variables = from_bytes(self.variables, f.read())
+        self._render_jit = None
+
+    def save_net(self, net_path):
+        from flax.serialization import to_bytes
+
+        with open(net_path, "wb") as f:
+            f.write(to_bytes(self.variables))
+
+    # ------------------------------------------------------------------
+    # Depth normalisation  (reference psfnet.py:447-454)
+    # ------------------------------------------------------------------
+    def depth2z(self, depth):
+        z = (depth - self.d_min) / (self.d_max - self.d_min)
+        return jnp.clip(z, 0.0, 1.0)
+
+    def z2depth(self, z):
+        return z * (self.d_max - self.d_min) + self.d_min
+
+    def _lens_scalars(self):
+        pupilz, pupilr = self.lens.entrance_pupil()
+        return (
+            jnp.float32(self.lens.d_sensor), jnp.float32(pupilz),
+            jnp.float32(pupilr), jnp.float32(self.lens.hfov),
+            jnp.float32(self.lens.r_last), jnp.float32(self.lens.sensor_size[1]),
+            jnp.float32(self.lens.sensor_size[0]), jnp.float32(self.lens.pixel_size),
+        )
+
+    # ------------------------------------------------------------------
+    # PSF (ray-traced ground truth)
+    # ------------------------------------------------------------------
+    def psf(self, points, ks=None, spp=None, wvln=DEFAULT_WAVE, center=True,
+            key=None):
+        ks = self.kernel_size if ks is None else ks
+        spp = self.spp if spp is None else spp
+        return lens_psf(self.lens, points, ks=ks, wvln=wvln, spp=spp,
+                        center=center, key=key)
+
+    # ------------------------------------------------------------------
+    # Training  (reference psfnet.py:79-170)
+    # ------------------------------------------------------------------
+    def _build_train_step(self, bs, spp, optimizer):
+        model, lens = self.model, self.lens
+        ks = self.kernel_size
+        metas = lens.metas
+        lens_range = tuple(range(len(metas)))
+        d_min, d_max = self.d_min, self.d_max
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(variables, opt_state, key, foc_z, lens_params, scalars):
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            x = (jax.random.uniform(k1, (bs,)) - 0.5) * 2
+            y = (jax.random.uniform(k2, (bs,)) - 0.5) * 2
+            zg = jnp.clip(jax.random.normal(k3, (bs,)), -3, 3)
+            z = jnp.where(zg > 0, (1 - foc_z) * zg / 3 + foc_z, foc_z * zg / 3 + foc_z)
+            inp = jnp.stack([x, y, z, jnp.full_like(x, foc_z)], axis=-1)
+
+            depth = z * (d_max - d_min) + d_min
+            points = jnp.stack([x, y, depth], axis=-1)
+            psf_gt = _psf_impl(
+                lens_params, metas, points, k4, ks, spp, DEFAULT_WAVE, True,
+                lens_range, *scalars,
+            )
+            psf_gt = psf_gt.reshape(bs, -1)
+            psf_gt = jax.lax.stop_gradient(psf_gt)
+
+            def loss_fn(v):
+                pred = model.apply(v, inp)
+                return jnp.mean((pred - psf_gt) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(variables)
+            updates, opt_state = optimizer.update(grads, opt_state, variables)
+            variables = optax.apply_updates(variables, updates)
+            return variables, opt_state, loss
+
+        return step
+
+    def train_psfnet(self, iters=10000, bs=128, lr=1e-4, spp=2048,
+                     evaluate_every=1000, result_dir="./results/temp"):
+        """Fit the surrogate with on-the-fly ray-traced labels
+        (reference psfnet.py:79-132)."""
+        os.makedirs(result_dir, exist_ok=True)
+        optimizer = optax.adamw(
+            optax.cosine_decay_schedule(lr, decay_steps=int(iters), alpha=0.0)
+        )
+        opt_state = optimizer.init(self.variables)
+        step = self._build_train_step(bs, spp, optimizer)
+
+        # Pre-resolve the 20 focus states once (reference pays this per iter)
+        foc_states = {}
+        for foc_z, foc_d in zip(self.foc_z_arr, self.foc_d_arr):
+            self.lens.refocus(float(foc_d))
+            foc_states[float(foc_z)] = self._lens_scalars()
+
+        losses = []
+        for i in range(int(iters) + 1):
+            foc_z = float(self._np_rng.choice(self.foc_z_arr))
+            scalars = foc_states[foc_z]
+            self.variables, opt_state, loss = step(
+                self.variables, opt_state, self.next_key(),
+                jnp.float32(foc_z), self.lens.params, scalars,
+            )
+            if (i + 1) % max(evaluate_every // 10, 1) == 0:
+                losses.append(float(loss))
+            if (i + 1) % evaluate_every == 0:
+                logging.info(f"iter {i + 1}: loss {float(loss):.3e}")
+                self.save_net(f"{result_dir}/PSFNet_{self.model_name}.msgpack")
+
+        self.save_net(f"{result_dir}/PSFNet_{self.model_name}.msgpack")
+        return losses
+
+    def get_training_data(self, bs=256, spp=4096, key=None):
+        """One batch of (input, ray-traced PSF) pairs (reference psfnet.py:135-170)."""
+        key = self.next_key() if key is None else key
+        foc_z = float(self._np_rng.choice(self.foc_z_arr))
+        foc_dist = foc_z * (self.d_max - self.d_min) + self.d_min
+        self.lens.refocus(foc_dist)
+
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        x = (jax.random.uniform(k1, (bs,)) - 0.5) * 2
+        y = (jax.random.uniform(k2, (bs,)) - 0.5) * 2
+        zg = jnp.clip(jax.random.normal(k3, (bs,)), -3, 3)
+        z = jnp.where(zg > 0, (1 - foc_z) * zg / 3 + foc_z, foc_z * zg / 3 + foc_z)
+        inp = jnp.stack([x, y, z, jnp.full_like(x, foc_z)], axis=-1)
+        depth = self.z2depth(z)
+        points = jnp.stack([x, y, depth], axis=-1)
+        psf = self.psf(points=points, ks=self.kernel_size, spp=spp, key=k4)
+        return inp, psf.reshape(bs, -1)
+
+    # ------------------------------------------------------------------
+    # Evaluation  (reference psfnet.py:248-369)
+    # ------------------------------------------------------------------
+    def evaluate_psf_score(self, spp=None, n_z=40, foc_subset=None,
+                           chunk=4):
+        """Mean L1/L2 PSF error over the (foc, z, field-grid) lattice
+        (reference psfnet.py:305-369).  Returns (avg_l1, avg_l2)."""
+        spp = self.spp if spp is None else spp
+        ks = self.kernel_size
+        gh, gw = self.psf_grid
+        x, y = np.meshgrid(
+            np.linspace(-1 + 1 / (2 * gw), 1 - 1 / (2 * gw), gw),
+            np.linspace(1 - 1 / (2 * gh), -1 + 1 / (2 * gh), gh),
+            indexing="xy",
+        )
+        x, y = x.reshape(-1), y.reshape(-1)
+        test_foc_z = self.foc_z_arr if foc_subset is None else self.foc_z_arr[foc_subset]
+        test_z = np.linspace(0, 1, n_z, endpoint=True)
+
+        l1_err, l2_err = [], []
+        for foc_z in test_foc_z:
+            foc_dist = foc_z * (self.d_max - self.d_min) + self.d_min
+            self.lens.refocus(float(foc_dist))
+            for z0 in np.array_split(test_z, max(len(test_z) // chunk, 1)):
+                for z in z0:
+                    depth = z * (self.d_max - self.d_min) + self.d_min
+                    pts = jnp.asarray(
+                        np.stack([x, y, np.full_like(x, depth)], axis=-1),
+                        jnp.float32,
+                    )
+                    psf_gt = self.psf(points=pts, ks=ks, spp=spp)
+                    inp = jnp.asarray(
+                        np.stack(
+                            [x, y, np.full_like(x, z), np.full_like(x, foc_z)],
+                            axis=-1,
+                        ),
+                        jnp.float32,
+                    )
+                    pred = self.model.apply(self.variables, inp).reshape(-1, ks, ks)
+                    l2_err.append(float(jnp.sum((psf_gt - pred) ** 2) / psf_gt.size))
+                    l1_err.append(float(jnp.sum(jnp.abs(psf_gt - pred)) / psf_gt.size))
+        return float(np.mean(l1_err)), float(np.mean(l2_err))
+
+    def evaluate_psf(self, result_dir="./"):
+        """Qualitative GT / prediction / thin-lens comparison
+        (reference psfnet.py:248-302).  Saves PNG panels."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        ks = self.kernel_size
+        x = jnp.asarray([0.0, 0.6, 0.98])
+        y = jnp.asarray([0.0, 0.6, 0.98])
+        test_foc_dists = [-1500.0]
+        test_dists = [-1200.0, -1500.0, -2000.0]
+        thinlens = ThinLens(self.lens.foclen, self.lens.fnum, ks,
+                            self.lens.sensor_size, self.lens.sensor_res)
+        for foc_dist in test_foc_dists:
+            foc_z = float(np.clip((foc_dist - self.d_min) / (self.d_max - self.d_min), 0, 1))
+            self.lens.refocus(foc_dist)
+            for depth in test_dists:
+                z = float(np.clip((depth - self.d_min) / (self.d_max - self.d_min), 0, 1))
+                pts = jnp.stack([x, y, jnp.full_like(x, depth)], axis=-1)
+                psf_gt = self.psf(points=pts, ks=ks)
+                inp = jnp.stack(
+                    [x, y, jnp.full_like(x, z), jnp.full_like(x, foc_z)], axis=-1
+                )
+                psf_pred = self.model.apply(self.variables, inp).reshape(-1, ks, ks)
+
+                fig, axs = plt.subplots(2, len(x), figsize=(3 * len(x), 6))
+                for i in range(len(x)):
+                    axs[0, i].imshow(np.asarray(psf_gt[i]), vmin=0, vmax=0.1)
+                    axs[0, i].set_title("GT")
+                    axs[1, i].imshow(np.asarray(psf_pred[i]), vmin=0, vmax=0.1)
+                    axs[1, i].set_title("pred")
+                fig.savefig(
+                    f"{result_dir}/foc{-foc_dist:.0f}_depth{-depth:.0f}.png", dpi=150
+                )
+                plt.close(fig)
+
+    # ------------------------------------------------------------------
+    # Inference / rendering  (reference psfnet.py:375-441)
+    # ------------------------------------------------------------------
+    def pred(self, inp):
+        """[..., 4] -> [..., ks, ks] PSFs."""
+        psf = self.model.apply(self.variables, inp)
+        return psf.reshape(*psf.shape[:-1], self.kernel_size, self.kernel_size)
+
+    def _get_render_jit(self):
+        if self._render_jit is None:
+            model, ks = self.model, self.kernel_size
+            d_min, d_max = self.d_min, self.d_max
+
+            @jax.jit
+            def render_impl(variables, img, depth, foc_dist):
+                N, C, H, W = img.shape
+                z = jnp.clip((depth - d_min) / (d_max - d_min), 0.0, 1.0)
+                z = z.reshape(N, H, W)
+                x, y = jnp.meshgrid(
+                    jnp.linspace(-1, 1, W), jnp.linspace(1, -1, H), indexing="xy"
+                )
+                x = jnp.broadcast_to(x[None], (N, H, W))
+                y = jnp.broadcast_to(y[None], (N, H, W))
+                foc_z = jnp.clip(
+                    (foc_dist[:, None, None] - d_min) / (d_max - d_min), 0.0, 1.0
+                )
+                foc_z = jnp.broadcast_to(foc_z, (N, H, W))
+                o = jnp.stack([x, y, z, foc_z], axis=-1)
+                psf = model.apply(variables, o.reshape(-1, 4))
+                psf = psf.reshape(N, H, W, ks, ks)
+                return local_psf_render(img, psf, kernel_size=ks)
+
+            self._render_jit = render_impl
+        return self._render_jit
+
+    def render(self, img, depth, foc_dist):
+        """Render an aberrated+defocused image (reference psfnet.py:393-441).
+
+        img: [N, C, H, W]; depth: [N, 1, H, W] or [N, H, W] in mm (<0);
+        foc_dist: [N] in mm (<0).
+        """
+        img = jnp.asarray(img, jnp.float32)
+        if img.ndim == 3:
+            img = img[None]
+        depth = jnp.asarray(depth, jnp.float32)
+        foc_dist = jnp.asarray(foc_dist, jnp.float32).reshape(-1)
+        return self._get_render_jit()(self.variables, img, depth, foc_dist)
+
+
+# ==========================================================================
+# Thin-lens Gaussian circle-of-confusion baseline (reference psfnet.py:489-570)
+# ==========================================================================
+class ThinLens:
+    def __init__(self, foc_len, fnum, kernel_size, sensor_size, sensor_res):
+        self.d_max = DMAX
+        self.d_min = DMIN
+        self.kernel_size = kernel_size
+        self.foc_len = foc_len
+        self.fnum = fnum
+        self.sensor_size = sensor_size
+        self.sensor_res = sensor_res
+        self.ps = self.sensor_size[0] / self.sensor_res[0]
+        self._render_jit = None
+
+    def coc(self, depth, foc_dist):
+        """Circle of confusion in pixels (reference psfnet.py:503-511)."""
+        depth = jnp.asarray(depth, jnp.float32)
+        foc_dist = jnp.asarray(foc_dist, jnp.float32)
+        neg = jnp.any(depth < 0)
+        depth = jnp.where(neg, -depth, depth)
+        foc_dist = jnp.where(neg, -foc_dist, foc_dist)
+        depth = jnp.clip(depth, self.d_min, self.d_max)
+        coc = (
+            self.foc_len / self.fnum
+            * jnp.abs(depth - foc_dist) / depth
+            * self.foc_len / (foc_dist - self.foc_len)
+        )
+        return jnp.clip(coc / self.ps, min=0.1)
+
+    def render(self, img, depth, foc_dist):
+        """Gaussian-CoC defocus rendering (reference psfnet.py:514-570).
+
+        img: [N, C, H, W]; depth: [N, 1, H, W]; foc_dist: [N]
+        """
+        img = jnp.asarray(img, jnp.float32)
+        if img.ndim == 3:
+            img = img[None]
+        depth = jnp.asarray(depth, jnp.float32)
+        foc_dist = jnp.asarray(foc_dist, jnp.float32).reshape(-1)
+        if self._render_jit is None:
+            ks = self.kernel_size
+
+            @jax.jit
+            def render_impl(img, depth, foc_dist):
+                N, C, H, W = img.shape
+                fd = jnp.broadcast_to(foc_dist[:, None, None, None], (N, 1, H, W))
+                x, y = jnp.meshgrid(
+                    jnp.linspace(-ks / 2 + 0.5, ks / 2 - 0.5, ks),
+                    jnp.linspace(ks / 2 - 0.5, -ks / 2 + 0.5, ks),
+                    indexing="xy",
+                )
+                coc_pix = self.coc(depth, fd)  # [N,1,H,W]
+                radius = (coc_pix[:, 0, :, :, None, None]) / 2  # [N,H,W,1,1]
+                r2 = x**2 + y**2
+                psf = jnp.exp(-r2 / 2 / radius**2) / (2 * np.pi * radius**2)
+                psf = psf * (r2 < radius**2)
+                psf = psf / jnp.sum(psf, axis=(-1, -2), keepdims=True)
+                return local_psf_render(img, psf, kernel_size=ks)
+
+            self._render_jit = render_impl
+        return self._render_jit(img, depth, foc_dist)

@@ -134,6 +134,50 @@ def main():
     np.savez_compressed("/root/repo/tests/goldens/optics_goldens.npz", **out)
     print("wrote", len(out), "arrays")
 
+    # ------------------------------------------------------------------
+    # Render golden: PSFNet.render is deterministic given the MLP weights
+    # (no RNG anywhere in psfnet.py:393-441 / render_psf.py:76-107), so the
+    # full pipeline compares exactly across frameworks.
+    # ------------------------------------------------------------------
+    import torch
+    from deeplens.psfnet import PSFNet
+
+    rout = {}
+    psfnet = PSFNet(
+        filename="/root/reference/lenses/rf50mm/lens.json",
+        sensor_res=(480, 640), kernel_size=11, device=torch.device("cpu"),
+    )
+    psfnet.psfnet.load_state_dict(
+        torch.load("/root/reference/ckpt/rf50mm/PSFNet480x640_ks11.pkl",
+                   map_location="cpu")
+    )
+    rng = np.random.default_rng(99)
+    H, W = 120, 160
+    img = rng.uniform(0, 1, (1, 3, H, W)).astype(np.float32)
+    depth = -rng.uniform(500, 15000, (1, 1, H, W)).astype(np.float32)
+    foc = np.asarray([-2400.0], np.float32)
+    with torch.no_grad():
+        rendered = psfnet.render(
+            torch.tensor(img), torch.tensor(depth), torch.tensor(foc)
+        )
+        # also golden the intermediate PSF field for a few pixels
+        z = psfnet.depth2z(torch.tensor(depth)).squeeze(1)
+        xg, yg = torch.meshgrid(
+            torch.linspace(-1, 1, W), torch.linspace(1, -1, H), indexing="xy"
+        )
+        fz = psfnet.depth2z(torch.tensor(foc)[:, None, None].repeat(1, H, W))
+        o = torch.stack(
+            [xg[None].repeat(1, 1, 1), yg[None].repeat(1, 1, 1), z, fz], -1
+        ).float()
+        psf_field = psfnet.pred(o)
+    rout["img"] = img
+    rout["depth"] = depth
+    rout["foc"] = foc
+    rout["rendered"] = rendered.numpy()
+    rout["psf_field_sample"] = psf_field[0, ::37, ::41].numpy()
+    np.savez_compressed("/root/repo/tests/goldens/render_goldens.npz", **rout)
+    print("wrote render goldens")
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,168 @@
+"""PSFNet + renderer oracles: weight-converter exactness, per-pixel render
+parity vs the torch reference, energy conservation."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aadff_tpu.ops.render import (
+    local_psf_render,
+    local_psf_render_high_res,
+    render_psf,
+    render_psf_map,
+)
+from aadff_tpu.psfnet import MLP, PSFNet, ThinLens, torch_mlp_to_flax
+
+from conftest import LENS_RF50
+
+CKPT = "/root/reference/ckpt/rf50mm/PSFNet480x640_ks11.pkl"
+RENDER_GOLDENS = os.path.join(os.path.dirname(__file__), "goldens",
+                              "render_goldens.npz")
+
+
+@pytest.fixture(scope="module")
+def render_goldens():
+    return np.load(RENDER_GOLDENS)
+
+
+def test_mlp_converter_matches_torch():
+    """Converted Flax MLP reproduces the torch MLP bit-for-bit (to f32 eps)."""
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as tF
+
+    sd = torch.load(CKPT, map_location="cpu")
+
+    # reference MLP forward (psfnet_arch.py:24-47) built directly from weights
+    def torch_forward(x):
+        h = x
+        idxs = sorted({int(k.split(".")[1]) for k in sd if k.endswith(".weight")})
+        for li, i in enumerate(idxs):
+            h = tF.linear(h, sd[f"net.{i}.weight"], sd[f"net.{i}.bias"])
+            if li < len(idxs) - 1:
+                h = tF.relu(h)
+        h = torch.sigmoid(h)
+        return tF.normalize(h, p=1, dim=-1)
+
+    x = np.random.default_rng(0).uniform(-1, 1, (32, 4)).astype(np.float32)
+    with torch.no_grad():
+        ref = torch_forward(torch.tensor(x)).numpy()
+
+    model = MLP(in_features=4, out_features=121, hidden_features=256,
+                hidden_layers=8)
+    variables = torch_mlp_to_flax(sd)
+    ours = np.asarray(model.apply(jax.tree.map(jnp.asarray, variables),
+                                  jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, atol=2e-6)
+
+
+def test_local_psf_render_energy_conservation():
+    """Constant image + normalized PSFs -> constant image (interior pixels)."""
+    B, C, H, W, ks = 1, 3, 24, 32, 7
+    img = jnp.full((B, C, H, W), 0.5)
+    rng = np.random.default_rng(1)
+    psf = rng.uniform(0, 1, (B, H, W, ks, ks)).astype(np.float32)
+    psf = psf / psf.sum(axis=(-1, -2), keepdims=True)
+    out = np.asarray(local_psf_render(img, jnp.asarray(psf), kernel_size=ks))
+    np.testing.assert_allclose(out, 0.5, atol=1e-5)
+
+
+def test_local_psf_render_matches_torch_reference():
+    """Same inputs through our scan renderer and the reference unfold renderer."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    import torch
+    from deeplens.render_psf import local_psf_render as ref_render
+
+    rng = np.random.default_rng(2)
+    B, C, H, W, ks = 2, 3, 16, 20, 5
+    img = rng.uniform(0, 1, (B, C, H, W)).astype(np.float32)
+    psf = rng.uniform(0, 1, (B, H, W, ks, ks)).astype(np.float32)
+    psf /= psf.sum(axis=(-1, -2), keepdims=True)
+
+    with torch.no_grad():
+        ref = ref_render(torch.tensor(img), torch.tensor(psf), kernel_size=ks).numpy()
+    ours = np.asarray(local_psf_render(jnp.asarray(img), jnp.asarray(psf), ks))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    tiled = np.asarray(
+        local_psf_render_high_res(jnp.asarray(img), jnp.asarray(psf),
+                                  patch_size=(8, 12), kernel_size=ks)
+    )
+    np.testing.assert_allclose(tiled, ref, atol=1e-5)
+
+
+def test_render_psf_matches_torch_reference():
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    import torch
+    from deeplens.render_psf import render_psf as ref_render_psf
+    from deeplens.render_psf import render_psf_map as ref_render_psf_map
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, (1, 3, 20, 20)).astype(np.float32)
+    psf = rng.uniform(0, 1, (3, 5, 5)).astype(np.float32)
+    psf /= psf.sum(axis=(-1, -2), keepdims=True)
+    with torch.no_grad():
+        ref = ref_render_psf(torch.tensor(img), torch.tensor(psf)).numpy()
+    ours = np.asarray(render_psf(jnp.asarray(img), jnp.asarray(psf)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    psf_map = rng.uniform(0, 1, (3, 10, 10)).astype(np.float32)  # grid=2, ks=5
+    with torch.no_grad():
+        refm = ref_render_psf_map(torch.tensor(img), torch.tensor(psf_map), 2).numpy()
+    oursm = np.asarray(render_psf_map(jnp.asarray(img), jnp.asarray(psf_map), 2))
+    np.testing.assert_allclose(oursm, refm, atol=1e-5)
+
+
+def test_psfnet_end_to_end_render_golden(render_goldens):
+    """Full pipeline: converted pretrained MLP + per-pixel render == reference
+    (the '0_warm_up' parity milestone, SURVEY.md §7 step 5)."""
+    net = PSFNet(LENS_RF50, kernel_size=11, sensor_res=(480, 640))
+    net.load_net(CKPT)
+    img = render_goldens["img"]
+    depth = render_goldens["depth"]
+    foc = render_goldens["foc"]
+    out = np.asarray(net.render(img, depth, foc))
+    ref = render_goldens["rendered"]
+    assert np.abs(out - ref).max() < 2e-4, np.abs(out - ref).max()
+
+    # intermediate PSF field spot check
+    H, W = img.shape[2:]
+    z = np.clip((depth[:, 0] - net.d_min) / (net.d_max - net.d_min), 0, 1)
+    xg, yg = np.meshgrid(np.linspace(-1, 1, W), np.linspace(1, -1, H),
+                         indexing="xy")
+    fz = np.clip((foc[0] - net.d_min) / (net.d_max - net.d_min), 0, 1)
+    field = np.stack(
+        [xg, yg, z[0], np.full_like(xg, fz)], axis=-1
+    ).astype(np.float32)
+    psf = np.asarray(net.pred(jnp.asarray(field)))
+    np.testing.assert_allclose(
+        psf[::37, ::41], render_goldens["psf_field_sample"], atol=1e-5
+    )
+
+
+def test_thinlens_render_shapes():
+    tl = ThinLens(50.0, 1.8, 11, [25.968, 34.624], (480, 640))
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0, 1, (1, 3, 32, 40)).astype(np.float32)
+    depth = -rng.uniform(500, 15000, (1, 1, 32, 40)).astype(np.float32)
+    out = np.asarray(tl.render(img, depth, np.asarray([-2400.0])))
+    assert out.shape == img.shape
+    assert np.isfinite(out).all()
+    # defocused render stays in a sane range
+    assert out.min() >= -1e-3 and out.max() <= 1.1
+
+
+def test_psfnet_train_step_decreases_loss():
+    """A few jitted train steps on tiny spp reduce the MSE."""
+    net = PSFNet(LENS_RF50, kernel_size=11, sensor_res=(480, 640))
+    losses = net.train_psfnet(iters=12, bs=16, lr=3e-4, spp=256,
+                              evaluate_every=1000, result_dir="/tmp/psfnet_test")
+    assert len(losses) > 2
+    assert losses[-1] < losses[0] * 1.5  # noisy, but should not blow up
+    assert np.isfinite(losses).all()
