@@ -53,8 +53,11 @@ def test_mlp_converter_matches_torch():
     model = MLP(in_features=4, out_features=121, hidden_features=256,
                 hidden_layers=8)
     variables = torch_mlp_to_flax(sd)
-    ours = np.asarray(model.apply(jax.tree.map(jnp.asarray, variables),
-                                  jnp.asarray(x)))
+    # JAX's default matmul precision truncates f32 inputs; compare under full
+    # f32 precision (the fast path is validated end-to-end by the render test)
+    with jax.default_matmul_precision("float32"):
+        ours = np.asarray(model.apply(jax.tree.map(jnp.asarray, variables),
+                                      jnp.asarray(x)))
     np.testing.assert_allclose(ours, ref, atol=2e-6)
 
 
