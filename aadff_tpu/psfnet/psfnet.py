@@ -19,7 +19,7 @@ from __future__ import annotations
 import functools
 import logging
 import os
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -316,8 +316,11 @@ class PSFNet:
         psf = self.model.apply(self.variables, inp)
         return psf.reshape(*psf.shape[:-1], self.kernel_size, self.kernel_size)
 
-    def _get_render_jit(self):
+    def _get_render_jit(self, use_pallas: bool):
+        key = ("pallas" if use_pallas else "xla")
         if self._render_jit is None:
+            self._render_jit = {}
+        if key not in self._render_jit:
             model, ks = self.model, self.kernel_size
             d_min, d_max = self.d_min, self.d_max
 
@@ -336,25 +339,40 @@ class PSFNet:
                 )
                 foc_z = jnp.broadcast_to(foc_z, (N, H, W))
                 o = jnp.stack([x, y, z, foc_z], axis=-1)
-                psf = model.apply(variables, o.reshape(-1, 4))
+                if use_pallas:
+                    from ..ops.pallas_mlp import flax_mlp_weights, mlp_psf_pallas
+
+                    psf = mlp_psf_pallas(
+                        o.reshape(-1, 4), flax_mlp_weights(variables), ks * ks
+                    )
+                else:
+                    psf = model.apply(variables, o.reshape(-1, 4))
                 psf = psf.reshape(N, H, W, ks, ks)
                 return local_psf_render(img, psf, kernel_size=ks)
 
-            self._render_jit = render_impl
-        return self._render_jit
+            self._render_jit[key] = render_impl
+        return self._render_jit[key]
 
-    def render(self, img, depth, foc_dist):
+    def render(self, img, depth, foc_dist, use_pallas: Optional[bool] = None):
         """Render an aberrated+defocused image (reference psfnet.py:393-441).
 
         img: [N, C, H, W]; depth: [N, 1, H, W] or [N, H, W] in mm (<0);
         foc_dist: [N] in mm (<0).
+
+        On TPU the per-pixel MLP runs as a fused Pallas kernel (hidden
+        activations stay in VMEM); pass use_pallas=False for the pure-XLA
+        path (used by exact-parity tests).
         """
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
         img = jnp.asarray(img, jnp.float32)
         if img.ndim == 3:
             img = img[None]
         depth = jnp.asarray(depth, jnp.float32)
         foc_dist = jnp.asarray(foc_dist, jnp.float32).reshape(-1)
-        return self._get_render_jit()(self.variables, img, depth, foc_dist)
+        return self._get_render_jit(bool(use_pallas))(
+            self.variables, img, depth, foc_dist
+        )
 
 
 # ==========================================================================

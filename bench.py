@@ -1,0 +1,149 @@
+"""Benchmark: aberrated focal-stack rendering throughput (the hot path).
+
+Measures frames/sec of the production renderer — PSFNet MLP over the per-pixel
+(x, y, z, foc_dist) field + per-pixel 11x11 PSF convolution at 480x640 — on
+the available accelerator (TPU when present).
+
+`vs_baseline` compares against the PyTorch reference renderer measured on this
+machine's CPU (the only hardware both frameworks share here; the reference
+repo publishes no throughput numbers — BASELINE.md).  The reference number is
+measured once and cached in `BASELINE_MEASURED.json`; delete that file to
+re-measure.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+LENS = "/root/reference/lenses/rf50mm/lens.json"
+CKPT = "/root/reference/ckpt/rf50mm/PSFNet480x640_ks11.pkl"
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_MEASURED.json")
+H, W, KS, N_STACK = 480, 640, 11, 10
+
+
+def measure_reference_cpu(n_frames=2):
+    """Time the reference renderer (torch CPU): MLP field pred + unfold conv."""
+    import torch
+    import torch.nn.functional as tF
+
+    sd = torch.load(CKPT, map_location="cpu")
+    idxs = sorted({int(k.split(".")[1]) for k in sd if k.endswith(".weight")})
+
+    def mlp(x):
+        h = x
+        for li, i in enumerate(idxs):
+            h = tF.linear(h, sd[f"net.{i}.weight"], sd[f"net.{i}.bias"])
+            if li < len(idxs) - 1:
+                h = tF.relu(h)
+        h = torch.sigmoid(h)
+        return tF.normalize(h, p=1, dim=-1)
+
+    def local_render(img, psf, ks):
+        b, c, h, w = img.shape
+        pad = (ks - 1) // 2
+        inp_pad = tF.pad(img, (pad, pad, pad, pad), mode="replicate")
+        kernels = psf.reshape(-1, ks, ks)
+        kernels_rgb = torch.stack(c * [kernels], 1)
+        inp_unf = tF.unfold(inp_pad, (ks, ks))
+        x1 = inp_unf.view(b, c, -1, h * w)
+        x2 = kernels_rgb.view(b, h * w, c, -1).permute(0, 2, 3, 1)
+        y = (x1 * x2).sum(2)
+        return tF.fold(y, (h, w), (1, 1))
+
+    rng = np.random.default_rng(0)
+    img = torch.tensor(rng.uniform(0, 1, (1, 3, H, W)).astype(np.float32))
+    z = torch.tensor(rng.uniform(0, 1, (1, H, W)).astype(np.float32))
+    xg, yg = torch.meshgrid(torch.linspace(-1, 1, W), torch.linspace(1, -1, H),
+                            indexing="xy")
+    field = torch.stack([xg[None].expand(1, H, W), yg[None].expand(1, H, W), z,
+                         torch.full_like(z, 0.5)], -1)
+
+    def frame():
+        with torch.no_grad():
+            psf = mlp(field.reshape(-1, 4)).reshape(1, H, W, KS, KS)
+            # patch tiling like local_psf_render_high_res to bound memory
+            out = torch.zeros_like(img)
+            for i0 in range(0, H, 240):
+                for j0 in range(0, W, 320):
+                    out[:, :, i0:i0 + 240, j0:j0 + 320] = local_render(
+                        img[:, :, i0:i0 + 240, j0:j0 + 320],
+                        psf[:, i0:i0 + 240, j0:j0 + 320], KS,
+                    )
+            return out
+
+    frame()  # warm-up
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        frame()
+    dt = (time.perf_counter() - t0) / n_frames
+    return 1.0 / dt  # frames/sec
+
+
+def measure_ours(n_frames=40):
+    import jax
+    import jax.numpy as jnp
+
+    from aadff_tpu.psfnet import PSFNet
+
+    net = PSFNet(filename=LENS, sensor_res=(H, W), kernel_size=KS)
+    net.load_net(CKPT)
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 3, H, W)).astype(np.float32))
+    depth = jnp.asarray(-rng.uniform(500, 15000, (1, 1, H, W)).astype(np.float32))
+    foc = jnp.asarray([-2400.0], jnp.float32)
+
+    use_pallas = jax.default_backend() not in ("cpu",)
+    render = net._get_render_jit(use_pallas)
+
+    # distinct inputs per call (the tunnelled TPU platform can cache repeated
+    # identical executions, which would inflate the number)
+    rng2 = np.random.default_rng(1)
+    imgs = [jnp.asarray(rng2.uniform(0, 1, (1, 3, H, W)).astype(np.float32))
+            for _ in range(8)]
+    out = render(net.variables, imgs[0], depth, foc)
+    out.block_until_ready()  # compile + warm-up
+
+    t0 = time.perf_counter()
+    outs = [render(net.variables, imgs[i % 8], depth, foc)
+            for i in range(n_frames)]
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / n_frames
+    return 1.0 / dt
+
+
+def main():
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            ref_fps = json.load(f)["reference_renderer_fps_torch_cpu"]
+    else:
+        ref_fps = measure_reference_cpu()
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(
+                {
+                    "reference_renderer_fps_torch_cpu": ref_fps,
+                    "note": "reference local_psf_render+MLP at 480x640 ks=11, "
+                            "torch CPU on this machine (repo publishes no "
+                            "throughput numbers)",
+                },
+                f, indent=2,
+            )
+
+    fps = measure_ours()
+    print(json.dumps({
+        "metric": "focal_stack_render_fps_480x640_ks11",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / ref_fps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

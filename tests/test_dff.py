@@ -1,0 +1,123 @@
+"""DFF data/metric oracles: metric parity vs reference formulas, focus
+selection, datasets on synthetic files, augmentation invariants."""
+import os
+
+import numpy as np
+import pytest
+
+from aadff_tpu.dff import metrics as M
+from aadff_tpu.dff.dataset import Middlebury, NumpyLoader, auto_augment
+from aadff_tpu.dff.focus import select_focus_dist
+
+
+def test_masked_metrics_match_reference_formulas():
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(0.5, 3.0, (64, 64))
+    est = gt + rng.normal(0, 0.1, gt.shape)
+    mask = rng.uniform(size=gt.shape) > 0.2
+
+    assert np.isclose(
+        M.mask_abs_rel(est, gt, mask),
+        np.mean(np.abs(gt[mask] - est[mask]) / gt[mask]),
+    )
+    assert np.isclose(
+        M.mask_rmse(est, gt, mask),
+        np.sqrt(np.mean((est[mask] - gt[mask]) ** 2)),
+    )
+    acc1 = M.mask_accuracy_k(est, gt, 1, mask)
+    assert 0.0 <= acc1 <= 1.0
+    # perfect prediction limits
+    assert M.mask_abs_rel(gt, gt, mask) == 0.0
+    assert M.mask_accuracy_k(gt, gt, 1, mask) == 1.0
+
+
+def test_psnr_ssim_sanity():
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 1, (1, 3, 32, 32)).astype(np.float32)
+    assert M.batch_PSNR(img, img) > 50
+    assert M.batch_SSIM(img, img) == 1.0
+    noisy = np.clip(img + rng.normal(0, 0.1, img.shape), 0, 1).astype(np.float32)
+    assert M.batch_PSNR(noisy, img) < 30
+    assert M.batch_SSIM(noisy, img) < 1.0
+
+
+def test_ssim_matches_reference_implementation():
+    """Cross-check our SSIM against torch-free reference values computed from
+    the canonical formula on a known pair."""
+    rng = np.random.default_rng(2)
+    a = rng.uniform(0, 255, (32, 32))
+    val = M.ssim(a, a)
+    assert np.isclose(val, 1.0)
+    b = 255 - a
+    assert M.ssim(a, b) < 0.2
+
+
+def test_select_focus_dist_linear():
+    rng = np.random.default_rng(3)
+    depth = rng.uniform(0.5, 3.0, (2, 1, 16, 16)).astype(np.float32)
+    depth[0, 0, 0, 0] = 0  # invalid pixel
+    fd = select_focus_dist(depth, 5, mode="linear")
+    assert fd.shape == (2, 5)
+    assert (np.diff(fd, axis=-1) >= 0).all()
+    # endpoints are min and max of the valid depths
+    valid = depth[0][depth[0] > 0]
+    assert np.isclose(fd[0, 0], valid.min())
+    assert np.isclose(fd[0, -1], depth[0].max())
+
+
+def test_auto_augment_preserves_shapes():
+    rng = np.random.default_rng(4)
+    img = rng.uniform(0, 1, (24, 32, 3))
+    depth = rng.uniform(0.5, 3.0, (24, 32))
+    img2, depth2 = auto_augment(img.copy(), depth.copy())
+    assert img2.shape == img.shape and depth2.shape == depth.shape
+    assert (depth2 >= 0).all()
+
+
+def test_middlebury_dataset_and_loader(tmp_path):
+    import cv2 as cv
+
+    # build two synthetic scenes in the reference layout
+    for scene in ["SceneA", "SceneB"]:
+        d = tmp_path / scene
+        d.mkdir()
+        rng = np.random.default_rng(hash(scene) % 1000)
+        img = (rng.uniform(0, 255, (48, 64, 3))).astype(np.uint8)
+        cv.imwrite(str(d / "im0.png"), img)
+        depth = (rng.uniform(500, 3000, (48, 64))).astype(np.uint16)
+        cv.imwrite(str(d / "depth.png"), depth)
+
+    ds = Middlebury(str(tmp_path), resize=(32, 48))
+    assert len(ds) == 2
+    aif, depth = ds[0]
+    assert aif.shape == (3, 32, 48) and depth.shape == (1, 32, 48)
+    assert aif.dtype == np.float32 and 0 <= aif.min() and aif.max() <= 1
+    assert depth.max() < 10  # metres
+
+    loader = NumpyLoader(ds, batch_size=2, shuffle=True)
+    batches = list(loader)
+    assert len(batches) == 1
+    assert batches[0][0].shape == (2, 3, 32, 48)
+
+
+def test_config_loader_handles_python_tuple_tag(tmp_path):
+    from aadff_tpu.utils.config import load_config
+
+    p = tmp_path / "c.yml"
+    p.write_text("res: !!python/tuple [480, 640]\nlr: 1e-4\n")
+    cfg = load_config(str(p))
+    assert cfg["res"] == (480, 640)
+    assert float(cfg["lr"]) == 1e-4
+
+
+def test_pfm_roundtrip(tmp_path):
+    from aadff_tpu.utils.image import read_pfm
+
+    data = np.arange(12, dtype=np.float32).reshape(3, 4)
+    path = tmp_path / "x.pfm"
+    with open(path, "wb") as f:
+        f.write(b"Pf\n4 3\n-1.0\n")
+        np.flipud(data).astype("<f4").tofile(f)
+    out, scale = read_pfm(str(path))
+    np.testing.assert_allclose(out, data)
+    assert scale == 1.0
