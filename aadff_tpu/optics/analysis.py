@@ -146,7 +146,7 @@ def plot_setup2d_with_trace(lens, filename, views=None, M=7, depth=None,
 def draw_psf_map(lens, grid=7, depth=DEPTH, ks=51, log_scale=False,
                  save_name=None, key=None):
     """RGB PSF-map figure (reference optics.py:1772-1803)."""
-    psf_map = np.asarray(lens_psf_map(lens, depth=depth, grid=grid, ks=ks, key=key))
+    psf_map = np.array(lens_psf_map(lens, depth=depth, grid=grid, ks=ks, key=key))
     for i in range(0, psf_map.shape[-2], ks):
         for j in range(0, psf_map.shape[-1], ks):
             m = psf_map[:, i : i + ks, j : j + ks].max()
@@ -200,6 +200,34 @@ def draw_spot_diagram(lens, M=7, depth=DEPTH, wvln=DEFAULT_WAVE, save_name=None,
             axs[i, j].set_aspect("equal", adjustable="datalim")
     name = save_name or "."
     fig.savefig(f"{name}_spot{-depth:.0f}mm.png", bbox_inches="tight", dpi=200)
+    plt.close(fig)
+
+
+def draw_spot_radial(lens, M=3, depth=DEPTH, save_name=None, key=None):
+    """Radial spot diagrams along the diagonal (reference optics.py:1864-1910)."""
+    mag = lens.calc_magnification3(depth)
+    ray = lens.sample_point_source(
+        M=M * 2 - 1, R=lens.sensor_size[0] / 2 / mag, depth=depth, spp=1024,
+        key=key,
+    )
+    ray, _, _ = lens.trace(ray)
+    from .rays import propagate_to
+
+    ray = propagate_to(ray, lens.d_sensor)
+    o2 = np.flip(np.asarray(ray.o), (1, 2))
+    ra = np.flip(np.asarray(ray.ra), (1, 2))
+    fig, axs = plt.subplots(1, M, figsize=(6 * M, 5))
+    for i in range(M):
+        ib = i + M - 1
+        sel = ra[:, ib, ib] > 0
+        x, y = o2[sel, ib, ib, 0], o2[sel, ib, ib, 1]
+        axs[i].scatter(x, y, 12, "black")
+        if sel.sum():
+            axs[i].scatter([x.mean()], [y.mean()], 200, "r", "x")
+        axs[i].set_aspect("equal", adjustable="datalim")
+    name = save_name or "."
+    fig.savefig(f"{name}_spot{-depth:.0f}mm_radial.png", bbox_inches="tight",
+                dpi=150)
     plt.close(fig)
 
 

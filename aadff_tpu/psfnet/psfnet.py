@@ -227,6 +227,48 @@ class PSFNet:
         psf = self.psf(points=points, ks=self.kernel_size, spp=spp, key=k4)
         return inp, psf.reshape(bs, -1)
 
+    def calc_psf_map(self, foc_dist, depth, psf_grid=(11, 11), key=None):
+        """Ray-traced PSF grid tiled into a map [1, gh*ks, gw*ks]
+        (reference psfnet.py:215-242)."""
+        from ..optics.psf import make_grid_psf
+
+        ks = self.kernel_size
+        self.lens.refocus(float(foc_dist))
+        gh, gw = psf_grid
+        x, y = np.meshgrid(
+            np.linspace(-1 + 1 / (2 * gw), 1 - 1 / (2 * gw), gw),
+            np.linspace(1 - 1 / (2 * gh), -1 + 1 / (2 * gh), gh),
+            indexing="xy",
+        )
+        x, y = x.reshape(-1), y.reshape(-1)
+        pts = jnp.asarray(
+            np.stack([x, y, np.full_like(x, depth)], axis=-1), jnp.float32
+        )
+        psf = self.psf(points=pts, ks=ks, spp=self.spp, key=key)
+        return make_grid_psf(psf[:, None], nrow=gw)
+
+    def get_training_psf_map(self, bs=8, psf_grid=(11, 11),
+                             psf_map_size=(128, 128), key=None):
+        """(inp [B, 2], psf maps [B, 1, size, size]) batches for the MLPConv
+        architecture (reference psfnet.py:173-212)."""
+        import jax.image
+
+        foc_z = float(self._np_rng.choice(self.foc_z_arr))
+        foc_dist = foc_z * (self.d_max - self.d_min) + self.d_min
+        zg = np.clip(self._np_rng.standard_normal(bs), -3, 3)
+        z = np.where(zg > 0, (1 - foc_z) * zg / 3 + foc_z, foc_z * zg / 3 + foc_z)
+        depth = z * (self.d_max - self.d_min) + self.d_min
+        inp = jnp.asarray(
+            np.stack([z, np.full_like(z, foc_z)], axis=-1), jnp.float32
+        )
+        maps = [self.calc_psf_map(foc_dist, float(d), psf_grid, key=key)
+                for d in depth]
+        maps = jnp.stack(maps, axis=0)  # [B, 1, gh*ks, gw*ks]
+        maps = jax.image.resize(
+            maps, (bs, maps.shape[1], *psf_map_size), method="bilinear"
+        )
+        return inp, maps
+
     # ------------------------------------------------------------------
     # Evaluation  (reference psfnet.py:248-369)
     # ------------------------------------------------------------------
