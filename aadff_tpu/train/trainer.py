@@ -73,6 +73,21 @@ def make_aif_train_step(model: AiFDepthNet, optimizer, task: str,
         )(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+
+        # Failure detection: skip the update on non-finite loss/grads (the
+        # reference skips NaN batches on host, 2_aber_aware_dff_aif.py:103-105;
+        # here the guard is in-graph so the jitted step never poisons params)
+        gnorm = optax.global_norm(grads)
+        ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+        params = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old), params, state.params
+        )
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old) if hasattr(new, "shape")
+            else new, opt_state, state.opt_state,
+        )
+        losses["skipped_nonfinite"] = (~ok).astype(jnp.float32)
+
         new_state = TrainState(
             params=params, batch_stats=new_bs, opt_state=opt_state,
             step=state.step + 1,

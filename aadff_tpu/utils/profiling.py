@@ -1,0 +1,57 @@
+"""Profiling / observability helpers.
+
+The reference has no profiling beyond ad-hoc `time.time()` around inference
+(SURVEY.md §5).  Here: `jax.profiler` trace capture for TensorBoard/Perfetto,
+and a lightweight step timer that logs rolling throughput.
+"""
+from __future__ import annotations
+
+import contextlib
+import logging
+import time
+from collections import deque
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a device trace viewable in TensorBoard / Perfetto."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Rolling steps/sec + last-step wall time (device-synchronised if a
+    result array is passed to `stop`)."""
+
+    def __init__(self, window: int = 50):
+        self.times = deque(maxlen=window)
+        self._t0 = None
+
+    def start(self):
+        self._t0 = time.perf_counter()
+
+    def stop(self, result=None):
+        if result is not None:
+            import jax
+
+            jax.block_until_ready(result)
+        dt = time.perf_counter() - self._t0
+        self.times.append(dt)
+        return dt
+
+    @property
+    def steps_per_sec(self):
+        if not self.times:
+            return 0.0
+        return len(self.times) / sum(self.times)
+
+    def log(self, step: int, prefix: str = ""):
+        logging.info(
+            f"{prefix}step {step}: {self.steps_per_sec:.2f} steps/s "
+            f"(last {self.times[-1] * 1e3:.1f} ms)"
+        )

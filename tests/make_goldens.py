@@ -175,6 +175,16 @@ def main():
     rout["foc"] = foc
     rout["rendered"] = rendered.numpy()
     rout["psf_field_sample"] = psf_field[0, ::37, ::41].numpy()
+
+    # ThinLens Gaussian-CoC baseline render golden (also deterministic)
+    from deeplens.psfnet import ThinLens
+
+    tl = ThinLens(50.0, 1.8, 11, [25.968, 34.624], (480, 640), device="cpu")
+    with torch.no_grad():
+        tl_out = tl.render(
+            torch.tensor(img), torch.tensor(depth), torch.tensor(foc)
+        )
+    rout["thinlens_rendered"] = tl_out.numpy()
     np.savez_compressed("/root/repo/tests/goldens/render_goldens.npz", **rout)
     print("wrote render goldens")
 

@@ -149,6 +149,42 @@ def test_psfnet_end_to_end_render_golden(render_goldens):
     )
 
 
+def test_thinlens_render_golden(render_goldens):
+    """ThinLens Gaussian-CoC render is deterministic -> exact parity."""
+    tl = ThinLens(50.0, 1.8, 11, [25.968, 34.624], (480, 640))
+    out = np.asarray(tl.render(render_goldens["img"], render_goldens["depth"],
+                               render_goldens["foc"]))
+    ref = render_goldens["thinlens_rendered"]
+    assert np.abs(out - ref).max() < 2e-4, np.abs(out - ref).max()
+
+
+def test_train_step_nan_guard():
+    """Non-finite batches must not poison parameters (in-graph skip)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from aadff_tpu.models.aifnet import AiFDepthNet
+    from aadff_tpu.train.trainer import create_train_state, make_aif_train_step
+
+    model = AiFDepthNet(n_stack=4)
+    stack = jnp.ones((1, 4, 64, 64, 3))
+    fp = jnp.linspace(0.5, 3.0, 4)[None]
+    optimizer = optax.adam(1e-3)
+    state = create_train_state(model, optimizer, stack, fp, jax.random.PRNGKey(0))
+    # NaN in the (unmasked) AiF target makes the loss itself non-finite
+    step = make_aif_train_step(model, optimizer, task="DA_FS", aif_w=1.0)
+    depth = jnp.full((1, 1, 64, 64), 1.7)
+    aif_bad = jnp.full((1, 3, 64, 64), jnp.nan)
+    params_before = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+    state, losses = step(state, stack, fp, depth, aif_bad)
+    assert float(losses["skipped_nonfinite"]) == 1.0
+    leaves_b = jax.tree.leaves(params_before)
+    leaves_a = jax.tree.leaves(state.params)
+    assert all(np.array_equal(b, np.asarray(a)) for b, a in zip(leaves_b, leaves_a))
+    assert all(np.isfinite(np.asarray(a)).all() for a in leaves_a)
+
+
 def test_thinlens_render_shapes():
     tl = ThinLens(50.0, 1.8, 11, [25.968, 34.624], (480, 640))
     rng = np.random.default_rng(5)
