@@ -1,0 +1,83 @@
+"""Misc parity: coherent trace bookkeeping, lens JSON roundtrip, perturb."""
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aadff_tpu.optics import Lens, make_rays
+from aadff_tpu.optics.psf import assign_points_to_pixels
+
+from conftest import LENS_RF50
+
+
+def test_coherent_trace_accumulates_opl(rf50mm):
+    """Coherent mode tracks optical path length / phase through the stack."""
+    o = jnp.asarray([[0.5, 0.0, -1000.0], [1.5, 0.5, -1000.0]])
+    tgt = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]])
+    ray = make_rays(o, tgt - o)
+    out, valid, _ = rf50mm.trace(ray, coherent=True)
+    assert bool(valid.all())
+    opl = np.asarray(out.opl)
+    assert (opl > 0).all() and np.isfinite(opl).all()
+    phi = np.asarray(out.phi)
+    assert np.isfinite(phi).all()
+
+
+def test_coherent_psf_accumulation():
+    """Complex (coherent) splat: |sum|^2-style accumulation stays consistent
+    with the incoherent path when all phases are zero."""
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.uniform(-1, 1, (64, 2)).astype(np.float32))
+    ra = jnp.ones(64)
+    ks, rngs = 7, (-3.0, 3.0)
+    inc = assign_points_to_pixels(pts, ks, rngs, rngs, ra)
+    coh = assign_points_to_pixels(pts, ks, rngs, rngs, ra, coherent=True,
+                                  phase=jnp.zeros(64))
+    np.testing.assert_allclose(np.asarray(coh.real), np.asarray(inc), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(coh.imag), 0.0, atol=1e-5)
+
+
+def test_lens_json_roundtrip(tmp_path):
+    lens = Lens(LENS_RF50, sensor_res=(480, 640))
+    out_path = str(tmp_path / "lens.json")
+    lens.write_lens_json(out_path)
+    lens2 = Lens(out_path, sensor_res=(480, 640))
+    assert abs(lens2.foclen - lens.foclen) < 1e-3
+    assert abs(lens2.d_sensor - lens.d_sensor) < 1e-6
+    for p1, p2 in zip(lens.params, lens2.params):
+        assert abs(float(p1.c) - float(p2.c)) < 1e-7
+        np.testing.assert_allclose(np.asarray(p1.ai), np.asarray(p2.ai),
+                                   atol=1e-9)
+    with open(out_path) as f:
+        data = json.load(f)
+    assert data["surfaces"][5]["type"] == "Stop"
+
+
+def test_perturb_changes_params():
+    lens = Lens(LENS_RF50, sensor_res=(480, 640))
+    c0 = [float(p.c) for p in lens.params]
+    lens.perturb(rng=np.random.default_rng(0))
+    c1 = [float(p.c) for p in lens.params]
+    changed = sum(abs(a - b) > 0 for a, b in zip(c0, c1) if a != 0)
+    assert changed > 0
+    # perturbation is small (manufacturing scale)
+    for a, b in zip(c0, c1):
+        if a != 0:
+            assert abs(a - b) / abs(a) < 0.01
+
+
+def test_prune_surf_keeps_rays_valid():
+    lens = Lens(LENS_RF50, sensor_res=(480, 640))
+    r_before = [m.r for m in lens.metas]
+    lens.prune_surf()
+    r_after = [m.r for m in lens.metas]
+    # pruning shrinks or keeps surfaces (aperture untouched)
+    assert all(b <= max(a, lens.r_last) + 1.2 for a, b in zip(r_before, r_after))
+    # lens still traces: on-axis point source keeps most rays
+    o = jnp.asarray([[0.0, 0.0, -5000.0]])
+    tgt = jnp.asarray([[0.0, 0.0, 0.0]])
+    ray = make_rays(jnp.broadcast_to(o, (16, 3)),
+                    jnp.broadcast_to(tgt - o, (16, 3)))
+    out, valid, _ = lens.trace(ray)
+    assert bool(np.asarray(valid).all())
