@@ -242,6 +242,59 @@ class Lens:
         )
         return make_rays(o, d)
 
+    def sample_parallel(self, fov=0.0, R=None, z=None, M=15, wvln=DEFAULT_WAVE,
+                        sampling="grid", forward=True, entrance_pupil=False,
+                        key=None):
+        """Parallel ray grid from a plane (reference optics.py:275-359).
+
+        Returns rays with shape [M, M] (single fov).
+        """
+        key = self.next_key() if key is None else key
+        if z is None:
+            z = float(self.params[0].d)
+        fov_rad = float(np.radians(fov))
+
+        if entrance_pupil:
+            pupilz, pupilr = self.entrance_pupil()
+        else:
+            pupilz = 0.0
+            import jax.numpy as _jnp
+
+            sag = float(
+                sag_r2(_jnp.float32(self.metas[0].r**2), self.params[0],
+                       self.metas[0].ai_degree)
+            )
+            pupilr = R if R is not None else (
+                math.tan(fov_rad) * sag + self.metas[0].r
+            )
+        if sampling == "grid":
+            x, y = jnp.meshgrid(
+                jnp.linspace(-pupilr, pupilr, M),
+                jnp.linspace(pupilr, -pupilr, M),
+                indexing="xy",
+            )
+        elif sampling == "radial":
+            k1, k2 = jax.random.split(key)
+            r2 = jax.random.uniform(k1, (M, M)) * pupilr**2
+            theta = jax.random.uniform(k2, (M, M)) * 2 * np.pi
+            x = jnp.sqrt(r2) * jnp.cos(theta)
+            y = jnp.sqrt(r2) * jnp.sin(theta)
+        else:
+            raise ValueError("Sampling method not implemented!")
+
+        o = jnp.stack([x, y, jnp.full_like(x, pupilz)], axis=2)
+        sgn = 1.0 if forward else -1.0
+        d = jnp.stack(
+            [
+                jnp.full_like(x, sgn * np.sin(fov_rad)),
+                jnp.zeros_like(x),
+                jnp.full_like(x, sgn * np.cos(fov_rad)),
+            ],
+            axis=2,
+        )
+        ray = make_rays(o, d)
+        return propagate_to(ray, z)
+
     def sample_point_source_2D(self, depth=-1000.0, view=0.0, M=9,
                                entrance_pupil=False, wvln=DEFAULT_WAVE):
         """2D point-source fan (reference optics.py:363-396)."""

@@ -21,7 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-LENS = "/root/reference/lenses/rf50mm/lens.json"
+REPO = os.path.dirname(os.path.abspath(__file__))
+LENS = os.path.join(REPO, "lenses/rf50mm.json")
+OUR_CKPT = os.path.join(REPO, "ckpt/rf50mm/psfnet_480x640_ks11.msgpack")
+# the torch-CPU baseline measurement drives the *reference* weights directly
 CKPT = "/root/reference/ckpt/rf50mm/PSFNet480x640_ks11.pkl"
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_MEASURED.json")
@@ -93,7 +96,7 @@ def measure_ours(n_frames=40):
     from aadff_tpu.psfnet import PSFNet
 
     net = PSFNet(filename=LENS, sensor_res=(H, W), kernel_size=KS)
-    net.load_net(CKPT)
+    net.load_net(OUR_CKPT)
 
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.uniform(0, 1, (1, 3, H, W)).astype(np.float32))

@@ -15,8 +15,9 @@ import cv2 as cv
 from aadff_tpu.psfnet import PSFNet
 from aadff_tpu.utils.image import imread_depth_png
 
-LENS = "/root/reference/lenses/rf50mm/lens.json"
-CKPT = "/root/reference/ckpt/rf50mm/PSFNet480x640_ks11.pkl"
+REPO = os.path.join(os.path.dirname(__file__), "..")
+LENS = os.path.join(REPO, "lenses/rf50mm.json")
+CKPT = os.path.join(REPO, "ckpt/rf50mm/psfnet_480x640_ks11.msgpack")
 SCENE = "/root/reference/datasets/Middlebury2014/Adirondack-perfect"
 
 if __name__ == "__main__":
@@ -26,7 +27,11 @@ if __name__ == "__main__":
 
     analysis(psfnet.lens, save_name="./lens")
 
-    depth = imread_depth_png(f"{SCENE}/depth.png", scale=1000.0, resize=(480, 640))
+    if os.path.exists(f"{SCENE}/depth.png"):
+        depth = imread_depth_png(f"{SCENE}/depth.png", scale=1000.0,
+                                 resize=(480, 640))
+    else:  # standalone fallback: a left-to-right depth ramp 0.5m .. 3m
+        depth = np.linspace(0.5, 3.0, 640, dtype=np.float32)[None, :].repeat(480, 0)
     img_path = f"{SCENE}/im0.png"
     if os.path.exists(img_path):
         img = cv.cvtColor(cv.imread(img_path), cv.COLOR_BGR2RGB)

@@ -11,8 +11,9 @@ import cv2 as cv
 from aadff_tpu.psfnet import PSFNet
 from aadff_tpu.utils.image import read_pfm
 
-LENS = "/root/reference/lenses/rf50mm/lens.json"
-CKPT = "/root/reference/ckpt/rf50mm/PSFNet480x640_ks11.pkl"
+REPO = os.path.join(os.path.dirname(__file__), "..")
+LENS = os.path.join(REPO, "lenses/rf50mm.json")
+CKPT = os.path.join(REPO, "ckpt/rf50mm/psfnet_480x640_ks11.msgpack")
 
 
 def disparity_to_depth(disp, focal=4161.221, baseline=176.252, doffs=209.059):

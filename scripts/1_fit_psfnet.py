@@ -12,8 +12,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from aadff_tpu.psfnet import PSFNet
 from aadff_tpu.utils.logging import set_logger, set_seed
 
-LENS = "/root/reference/lenses/rf50mm/lens.json"
-CKPT = "/root/reference/ckpt/rf50mm/PSFNet480x640_ks11.pkl"
+REPO = os.path.join(os.path.dirname(__file__), "..")
+LENS = os.path.join(REPO, "lenses/rf50mm.json")
+CKPT = os.path.join(REPO, "ckpt/rf50mm/psfnet_480x640_ks11.msgpack")
 
 if __name__ == "__main__":
     result_dir = "./results/" + datetime.now().strftime("%m%d-%H%M%S") + "-psfnet"
