@@ -395,6 +395,42 @@ class PSFNet:
             self._render_jit[key] = render_impl
         return self._render_jit[key]
 
+    def _get_stack_jit(self, use_pallas: bool):
+        key = ("stack_pallas" if use_pallas else "stack_xla")
+        if self._render_jit is None:
+            self._render_jit = {}
+        if key not in self._render_jit:
+            frame = self._get_render_jit(use_pallas)
+
+            @jax.jit
+            def stack_impl(variables, img, depth, focus_dists):
+                # focus_dists: [B, S] -> [B, S, C, H, W]
+                def one(fd):
+                    return frame(variables, img, depth, fd)
+
+                stack = jax.lax.map(one, jnp.transpose(focus_dists))  # [S,B,C,H,W]
+                return jnp.transpose(stack, (1, 0, 2, 3, 4))
+
+            self._render_jit[key] = stack_impl
+        return self._render_jit[key]
+
+    def render_stack(self, img, depth, focus_dists,
+                     use_pallas: Optional[bool] = None):
+        """Render a whole focal stack in one jitted program.
+
+        img: [B, C, H, W]; depth: [B, 1, H, W] mm (<0); focus_dists: [B, S]
+        mm (<0) -> [B, S, C, H, W].  `lax.map` over frames keeps peak memory
+        at one PSF field while avoiding per-frame dispatch.
+        """
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        img = jnp.asarray(img, jnp.float32)
+        depth = jnp.asarray(depth, jnp.float32)
+        focus_dists = jnp.asarray(focus_dists, jnp.float32)
+        return self._get_stack_jit(bool(use_pallas))(
+            self.variables, img, depth, focus_dists
+        )
+
     def render(self, img, depth, foc_dist, use_pallas: Optional[bool] = None):
         """Render an aberrated+defocused image (reference psfnet.py:393-441).
 

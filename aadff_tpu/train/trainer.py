@@ -114,13 +114,18 @@ def render_focal_stack(lens, aif, depth, focus_dists):
     aif: [B, C, H, W]; depth: [B, 1, H, W] in m (>0); focus_dists: [B, S] in m.
     Returns [B, S, H, W, C] (channels-last for the models).
     """
-    frames = []
-    S = focus_dists.shape[1]
-    for i in range(S):
-        img = lens.render(aif, -np.asarray(depth) * 1e3,
-                          -np.asarray(focus_dists[:, i]) * 1e3)
-        frames.append(img)
-    stack = jnp.stack(frames, axis=1)  # [B, S, C, H, W]
+    if hasattr(lens, "render_stack"):
+        stack = lens.render_stack(
+            aif, -np.asarray(depth) * 1e3, -np.asarray(focus_dists) * 1e3
+        )  # [B, S, C, H, W], one jitted program
+    else:
+        frames = []
+        S = focus_dists.shape[1]
+        for i in range(S):
+            img = lens.render(aif, -np.asarray(depth) * 1e3,
+                              -np.asarray(focus_dists[:, i]) * 1e3)
+            frames.append(img)
+        stack = jnp.stack(frames, axis=1)  # [B, S, C, H, W]
     return jnp.transpose(stack, (0, 1, 3, 4, 2))
 
 
