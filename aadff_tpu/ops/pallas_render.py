@@ -1,0 +1,166 @@
+"""Pallas TPU kernel: fully-fused per-pixel PSF render.
+
+Fuses the whole hot path of `PSFNet.render` into one kernel per spatial tile:
+
+    field tile -> 11-layer MLP -> per-pixel [ks, ks] PSFs -> per-pixel
+    convolution against an image halo -> output tile
+
+Nothing but the 4-float field, the image halo, and the 3-float output pixel
+ever touches HBM — the [H, W, ks^2] PSF field (150 MB/frame at 480x640) and
+all MLP activations (~3 GB/frame as XLA dots) exist only in VMEM.
+
+Layout trick: the MLP runs feature-major (`h = W^T @ h`, features in
+sublanes, pixels in lanes) so the final layer directly yields
+`psf[tap, pixel]`; tap rows then drive the tap-loop of the convolution
+without any per-tap relayout.
+
+Grid: (H/TH, W/TW) tiles, TH=8, TW=128 (one f32 register tile of pixels).
+The image stays in HBM (`memory_space=ANY`); each step DMAs its
+(TH+ks-1, TW+ks-1) halo into VMEM scratch and overlaps the copy with the
+MLP matmuls.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TH, TW = 8, 128
+
+
+def transpose_weights(weights):
+    """(w [in,out], b [1,out]) pairs -> (wT [out,in], bT [out,1])."""
+    return tuple((jnp.transpose(w), jnp.transpose(b)) for w, b in weights)
+
+
+def _kernel(n_layers: int, ks: int, C: int, *refs):
+    field_ref = refs[0]          # [4, TH, TW] VMEM
+    img_ref = refs[1]            # [C, H+ks-1, W+ks-1] HBM/ANY
+    w_refs = refs[2 : 2 + 2 * n_layers]
+    out_ref = refs[2 + 2 * n_layers]      # [C, TH, TW] VMEM
+    halo = refs[3 + 2 * n_layers]         # scratch [C, TH+ks-1, TW+ks-1]
+    psf_scratch = refs[4 + 2 * n_layers]  # scratch [ks*ks, TH, TW]
+    sem = refs[5 + 2 * n_layers]
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    # Start the halo DMA; it overlaps with the MLP below.
+    dma = pltpu.make_async_copy(
+        img_ref.at[:, pl.ds(i * TH, TH + ks - 1), pl.ds(j * TW, TW + ks - 1)],
+        halo,
+        sem,
+    )
+    dma.start()
+
+    # Feature-major MLP: h [feat, pix]
+    h = field_ref[:].reshape(4, TH * TW)
+    for li in range(n_layers):
+        wT = w_refs[2 * li][:]
+        bT = w_refs[2 * li + 1][:]
+        h = (
+            jnp.dot(wT, h, preferred_element_type=jnp.float32)
+            + bT
+        )
+        if li < n_layers - 1:
+            h = jnp.maximum(h, 0.0)
+    p = jax.nn.sigmoid(h)                          # [ks*ks, TH*TW]
+    p = p / (jnp.sum(jnp.abs(p), axis=0, keepdims=True) + 1e-12)
+    # stage tap-major PSF tiles in scratch so the tap loop can dynamically
+    # index a *ref* (dynamic_slice on values is not lowerable on TPU)
+    psf_scratch[:] = p.reshape(ks * ks, TH, TW)
+
+    dma.wait()
+
+    acc = jnp.zeros((C, TH, TW), jnp.float32)
+
+    def tap(k, acc):
+        di = k // ks
+        dj = k % ks
+        patch = halo[:, pl.ds(di, TH), pl.ds(dj, TW)]      # [C, TH, TW]
+        return acc + patch * psf_scratch[k][None]
+
+    acc = jax.lax.fori_loop(0, ks * ks, tap, acc)
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("ks", "interpret"))
+def fused_psf_render(field_cf, img_pad, weights_t, ks: int,
+                     interpret: bool = False):
+    """field_cf: [4, H, W] (x, y, z, foc_z channel-first);
+    img_pad: [C, H+ks-1, W+ks-1] edge-padded image;
+    weights_t: transposed MLP weights.  Returns [C, H, W].
+    """
+    _, H, W = field_cf.shape
+    C = img_pad.shape[0]
+    assert H % TH == 0 and W % TW == 0, (H, W)
+    n_layers = len(weights_t)
+
+    flat_w, w_specs = [], []
+    for wT, bT in weights_t:
+        flat_w += [wT, bT]
+        w_specs += [
+            pl.BlockSpec(wT.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(bT.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ]
+
+    return pl.pallas_call(
+        functools.partial(_kernel, n_layers, ks, C),
+        grid=(H // TH, W // TW),
+        in_specs=[
+            pl.BlockSpec((4, TH, TW), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((C, TH, TW), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, H, W), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((C, TH + ks - 1, TW + ks - 1), jnp.float32),
+            pltpu.VMEM((ks * ks, TH, TW), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * H * W * sum(int(np.prod(w.shape)) for w, _ in weights_t)
+            + 2 * H * W * ks * ks * C,
+            bytes_accessed=(4 + 2 * C) * H * W * 4,
+            transcendentals=H * W * ks * ks,
+        ),
+    )(field_cf, img_pad, *flat_w)
+
+
+def fused_render_frame(variables, img, depth, foc_dist, ks: int,
+                       d_min: float, d_max: float, interpret: bool = False):
+    """Full single-frame render [N, C, H, W] via the fused kernel.
+
+    Matches `PSFNet.render` semantics (reference psfnet.py:393-441):
+    per-pixel (x, y, z, foc_z) field, MLP PSF prediction, replicate-pad
+    per-pixel convolution.
+    """
+    from .pallas_mlp import flax_mlp_weights
+
+    N, C, H, W = img.shape
+    pad = (ks - 1) // 2
+    weights_t = transpose_weights(flax_mlp_weights(variables))
+
+    z = jnp.clip((depth.reshape(N, H, W) - d_min) / (d_max - d_min), 0.0, 1.0)
+    x, y = jnp.meshgrid(jnp.linspace(-1, 1, W), jnp.linspace(1, -1, H),
+                        indexing="xy")
+    foc_z = jnp.clip((foc_dist[:, None, None] - d_min) / (d_max - d_min), 0.0, 1.0)
+
+    outs = []
+    for n in range(N):
+        field = jnp.stack(
+            [x, y, z[n], jnp.broadcast_to(foc_z[n], (H, W))], axis=0
+        )
+        img_pad = jnp.pad(img[n], ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+        outs.append(fused_psf_render(field, img_pad, weights_t, ks,
+                                     interpret=interpret))
+    return jnp.stack(outs, axis=0)

@@ -192,7 +192,7 @@ class PSFNet:
             self.lens.refocus(float(foc_d))
             foc_states[float(foc_z)] = self._lens_scalars()
 
-        losses = []
+        losses = []  # device arrays; converted once at the end (no per-step sync)
         for i in range(int(iters) + 1):
             foc_z = float(self._np_rng.choice(self.foc_z_arr))
             scalars = foc_states[foc_z]
@@ -200,14 +200,13 @@ class PSFNet:
                 self.variables, opt_state, self.next_key(),
                 jnp.float32(foc_z), self.lens.params, scalars,
             )
-            if (i + 1) % max(evaluate_every // 10, 1) == 0:
-                losses.append(float(loss))
+            losses.append(loss)
             if (i + 1) % evaluate_every == 0:
                 logging.info(f"iter {i + 1}: loss {float(loss):.3e}")
                 self.save_net(f"{result_dir}/PSFNet_{self.model_name}.msgpack")
 
         self.save_net(f"{result_dir}/PSFNet_{self.model_name}.msgpack")
-        return losses
+        return [float(l) for l in losses]
 
     def get_training_data(self, bs=256, spp=4096, key=None):
         """One batch of (input, ray-traced PSF) pairs (reference psfnet.py:135-170)."""

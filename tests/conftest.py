@@ -37,3 +37,29 @@ def goldens():
     import numpy as np
 
     return np.load(GOLDENS)
+
+
+def import_reference(module: str):
+    """Import a module from the torch reference with its unavailable deps
+    (torchvision/skimage/lpips) stubbed — `deeplens/__init__` imports them
+    transitively."""
+    import importlib
+    import sys
+    import types
+
+    for name in [
+        "skimage", "skimage.metrics", "lpips",
+        "torchvision", "torchvision.utils", "torchvision.transforms",
+        "torchvision.transforms.functional", "torchvision.models",
+    ]:
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["skimage.metrics"].peak_signal_noise_ratio = lambda *a, **k: 0
+    sys.modules["skimage.metrics"].structural_similarity = lambda *a, **k: 0
+    sys.modules["torchvision.utils"].save_image = lambda *a, **k: None
+    sys.modules["torchvision.utils"].make_grid = lambda *a, **k: None
+    if not hasattr(sys.modules["lpips"], "LPIPS"):
+        sys.modules["lpips"].LPIPS = type("LPIPS", (), {"__init__": lambda self, *a, **k: None})
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
+    return importlib.import_module(module)

@@ -74,11 +74,11 @@ def test_local_psf_render_energy_conservation():
 
 def test_local_psf_render_matches_torch_reference():
     """Same inputs through our scan renderer and the reference unfold renderer."""
-    import sys
-
-    sys.path.insert(0, "/root/reference")
     import torch
-    from deeplens.render_psf import local_psf_render as ref_render
+
+    from conftest import import_reference
+
+    ref_render = import_reference("deeplens.render_psf").local_psf_render
 
     rng = np.random.default_rng(2)
     B, C, H, W, ks = 2, 3, 16, 20, 5
@@ -91,20 +91,28 @@ def test_local_psf_render_matches_torch_reference():
     ours = np.asarray(local_psf_render(jnp.asarray(img), jnp.asarray(psf), ks))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
+    # tiled rendering replicate-pads per patch (boundary pixels deliberately
+    # differ from the untiled result) — compare tile-for-tile vs the
+    # reference's own high-res tiling
+    ref_high = import_reference("deeplens.render_psf").local_psf_render_high_res
+    with torch.no_grad():
+        ref_tiled = ref_high(torch.tensor(img), torch.tensor(psf),
+                             patch_size=[8, 12], kernel_size=ks).numpy()
     tiled = np.asarray(
         local_psf_render_high_res(jnp.asarray(img), jnp.asarray(psf),
                                   patch_size=(8, 12), kernel_size=ks)
     )
-    np.testing.assert_allclose(tiled, ref, atol=1e-5)
+    np.testing.assert_allclose(tiled, ref_tiled, atol=1e-5)
 
 
 def test_render_psf_matches_torch_reference():
-    import sys
-
-    sys.path.insert(0, "/root/reference")
     import torch
-    from deeplens.render_psf import render_psf as ref_render_psf
-    from deeplens.render_psf import render_psf_map as ref_render_psf_map
+
+    from conftest import import_reference
+
+    _mod = import_reference("deeplens.render_psf")
+    ref_render_psf = _mod.render_psf
+    ref_render_psf_map = _mod.render_psf_map
 
     rng = np.random.default_rng(3)
     img = rng.uniform(0, 1, (1, 3, 20, 20)).astype(np.float32)
