@@ -31,6 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TH, TW = 8, 128
+SUB_PAD, LANE_PAD = 24, 256  # tile-aligned halo staging shapes
 
 
 def transpose_weights(weights):
@@ -51,8 +52,10 @@ def _kernel(n_layers: int, ks: int, C: int, *refs):
     j = pl.program_id(1)
 
     # Start the halo DMA; it overlaps with the MLP below.
+    # halo scratch is padded to tile-aligned (SUB_PAD, LANE_PAD); only the
+    # leading (TH+ks-1, TW+ks-1) region is ever read
     dma = pltpu.make_async_copy(
-        img_ref.at[:, pl.ds(i * TH, TH + ks - 1), pl.ds(j * TW, TW + ks - 1)],
+        img_ref.at[:, pl.ds(i * TH, SUB_PAD), pl.ds(j * TW, LANE_PAD)],
         halo,
         sem,
     )
@@ -78,14 +81,13 @@ def _kernel(n_layers: int, ks: int, C: int, *refs):
     dma.wait()
 
     acc = jnp.zeros((C, TH, TW), jnp.float32)
-
-    def tap(k, acc):
-        di = k // ks
-        dj = k % ks
-        patch = halo[:, pl.ds(di, TH), pl.ds(dj, TW)]      # [C, TH, TW]
-        return acc + patch * psf_scratch[k][None]
-
-    acc = jax.lax.fori_loop(0, ks * ks, tap, acc)
+    # static unroll: Mosaic requires statically-known (un)aligned offsets for
+    # strided vector loads; ks^2 taps with constant shifts compile to shifted
+    # loads + FMAs on the VPU
+    for k in range(ks * ks):
+        di, dj = k // ks, k % ks
+        patch = halo[:, di : di + TH, dj : dj + TW]        # [C, TH, TW]
+        acc = acc + patch * psf_scratch[k][None]
     out_ref[:] = acc
 
 
@@ -93,7 +95,8 @@ def _kernel(n_layers: int, ks: int, C: int, *refs):
 def fused_psf_render(field_cf, img_pad, weights_t, ks: int,
                      interpret: bool = False):
     """field_cf: [4, H, W] (x, y, z, foc_z channel-first);
-    img_pad: [C, H+ks-1, W+ks-1] edge-padded image;
+    img_pad: [C, H+SUB_PAD-TH, W+LANE_PAD-TW] image, edge-padded by
+    (ks-1)//2 and zero-extended to DMA-aligned extents;
     weights_t: transposed MLP weights.  Returns [C, H, W].
     """
     _, H, W = field_cf.shape
@@ -122,7 +125,7 @@ def fused_psf_render(field_cf, img_pad, weights_t, ks: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C, H, W), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((C, TH + ks - 1, TW + ks - 1), jnp.float32),
+            pltpu.VMEM((C, SUB_PAD, LANE_PAD), jnp.float32),
             pltpu.VMEM((ks * ks, TH, TW), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -144,7 +147,7 @@ def fused_render_frame(variables, img, depth, foc_dist, ks: int,
     per-pixel (x, y, z, foc_z) field, MLP PSF prediction, replicate-pad
     per-pixel convolution.
     """
-    from .pallas_mlp import flax_mlp_weights
+    from .pallas_mlp import flax_mlp_weights  # noqa: PLC0415
 
     N, C, H, W = img.shape
     pad = (ks - 1) // 2
@@ -161,6 +164,10 @@ def fused_render_frame(variables, img, depth, foc_dist, ks: int,
             [x, y, z[n], jnp.broadcast_to(foc_z[n], (H, W))], axis=0
         )
         img_pad = jnp.pad(img[n], ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+        img_pad = jnp.pad(
+            img_pad,
+            ((0, 0), (0, SUB_PAD - TH - (ks - 1)), (0, LANE_PAD - TW - (ks - 1))),
+        )
         outs.append(fused_psf_render(field, img_pad, weights_t, ks,
                                      interpret=interpret))
     return jnp.stack(outs, axis=0)

@@ -89,7 +89,11 @@ def measure_reference_cpu(n_frames=2):
     return 1.0 / dt  # frames/sec
 
 
-def measure_ours(n_frames=40):
+def measure_ours(n_calls=8):
+    """Frames/sec rendering N_STACK-frame focal stacks, one jitted program per
+    stack (the production workload; also amortises the tunnelled platform's
+    per-dispatch round-trip, which has been observed anywhere from ~1 ms to
+    ~40 ms on this link)."""
     import jax
     import jax.numpy as jnp
 
@@ -99,27 +103,24 @@ def measure_ours(n_frames=40):
     net.load_net(OUR_CKPT)
 
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.uniform(0, 1, (1, 3, H, W)).astype(np.float32))
     depth = jnp.asarray(-rng.uniform(500, 15000, (1, 1, H, W)).astype(np.float32))
-    foc = jnp.asarray([-2400.0], jnp.float32)
-
-    use_pallas = jax.default_backend() not in ("cpu",)
-    render = net._get_render_jit(use_pallas)
-
+    fds = jnp.asarray(
+        -np.sort(rng.uniform(500, 15000, (1, N_STACK)))[:, ::-1].copy(),
+        jnp.float32,
+    )
     # distinct inputs per call (the tunnelled TPU platform can cache repeated
     # identical executions, which would inflate the number)
-    rng2 = np.random.default_rng(1)
-    imgs = [jnp.asarray(rng2.uniform(0, 1, (1, 3, H, W)).astype(np.float32))
-            for _ in range(8)]
-    out = render(net.variables, imgs[0], depth, foc)
-    out.block_until_ready()  # compile + warm-up
+    imgs = [jnp.asarray(rng.uniform(0, 1, (1, 3, H, W)).astype(np.float32))
+            for _ in range(n_calls)]
+
+    net.render_stack(imgs[0], depth, fds).block_until_ready()  # compile
+    net.render_stack(imgs[1], depth, fds).block_until_ready()  # warm-up
 
     t0 = time.perf_counter()
-    outs = [render(net.variables, imgs[i % 8], depth, foc)
-            for i in range(n_frames)]
+    outs = [net.render_stack(imgs[i], depth, fds) for i in range(2, n_calls)]
     jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / n_frames
-    return 1.0 / dt
+    dt = (time.perf_counter() - t0) / (n_calls - 2)
+    return N_STACK / dt
 
 
 def main():
