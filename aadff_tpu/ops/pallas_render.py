@@ -18,6 +18,13 @@ Grid: (H/TH, W/TW) tiles, TH=8, TW=128 (one f32 register tile of pixels).
 The image stays in HBM (`memory_space=ANY`); each step DMAs its
 (TH+ks-1, TW+ks-1) halo into VMEM scratch and overlaps the copy with the
 MLP matmuls.
+
+Status: exact (matches the XLA path to 5e-7) but measured ~25% slower than
+the production path (pallas MLP + XLA tap-scan conv) on v5e — the ks^2
+statically-unrolled unaligned VPU loads in the tap loop cost more than the
+HBM traffic they save, and the feature-major matmul layout underperforms the
+pixel-major one.  Kept as a tested alternative / baseline for future kernel
+work; `PSFNet.render` does not use it by default.
 """
 from __future__ import annotations
 

@@ -46,7 +46,7 @@ def config(path="configs/aber_aware_dff_aif.yml"):
 
 
 def train(args):
-    mesh = make_mesh()
+    mesh = make_mesh(min(jax.device_count(), args["bs"]))
     train_lens, test_lens = get_lens(args)
 
     task = {"depth": "D_FS", "aif": "A_FS", "depth_aif": "DA_FS"}[args["pred_name"]]

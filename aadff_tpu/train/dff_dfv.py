@@ -95,7 +95,7 @@ def validate_dfv(eval_step, state, test_lens, val_loader, n_stack, epoch, args):
 
 
 def train(args):
-    mesh = make_mesh()
+    mesh = make_mesh(min(jax.device_count(), args["bs"]))
     train_lens, test_lens = get_lens(args)
     n_stack = args["n_stack"]
     model = DFVNet(clean=False, level=2, use_diff=1)
