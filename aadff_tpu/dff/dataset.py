@@ -29,6 +29,17 @@ def _resize_hw(img, resize):
     return cv.resize(img, (resize[1], resize[0]), interpolation=cv.INTER_LINEAR)
 
 
+def _rotate(img, degree):
+    """Rotation for augmentation: the native C++ bilinear kernel when built
+    (~25x faster than scipy's spline rotate — see native/aadff_io.cpp),
+    scipy otherwise."""
+    from . import native_ops
+
+    if native_ops.available():
+        return native_ops.rotate(img, degree)
+    return rotate(img, degree, reshape=False)
+
+
 # ================================
 # Augmentation (reference dff/dataset.py:252-286)
 # ================================
@@ -47,13 +58,13 @@ def auto_augment(img, depth, rng=None):
         depth = np.flip(depth, 0)
     if rng.rand() > 0.5:
         degree = rng.randint(0, 180)
-        img = np.ascontiguousarray(img)
+        img = np.ascontiguousarray(img, np.float32)
         if img.ndim == 4:
             for i in range(img.shape[-1]):
-                img[..., i] = rotate(img[..., i], degree, reshape=False)
+                img[..., i] = _rotate(img[..., i], degree)
         else:
-            img = rotate(img, degree, reshape=False)
-        depth = rotate(depth, degree, reshape=False)
+            img = _rotate(img, degree)
+        depth = _rotate(depth.astype(np.float32), degree)
         depth = np.where(depth < 0, 0, depth)
     return np.ascontiguousarray(img), np.ascontiguousarray(depth)
 
