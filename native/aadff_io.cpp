@@ -27,39 +27,38 @@ extern "C" {
 void rotate_bilinear(const float* img, float* out, int H, int W, int C,
                      float angle_deg) {
   // scipy.ndimage.rotate's positive direction is the opposite sign in this
-  // inverse-map formulation
-  const float a = -angle_deg * 3.14159265358979323846f / 180.0f;
-  const float ca = std::cos(a), sa = std::sin(a);
-  const float cy = (H - 1) * 0.5f, cx = (W - 1) * 0.5f;
+  // inverse-map formulation; double-precision coordinates match scipy's
+  // float64 affine (exact-0 sources at multiples of 90 deg)
+  const double a = -angle_deg * 3.14159265358979323846 / 180.0;
+  const double ca = std::cos(a), sa = std::sin(a);
+  const double cy = (H - 1) * 0.5, cx = (W - 1) * 0.5;
 #pragma omp parallel for schedule(static)
   for (int y = 0; y < H; ++y) {
     for (int x = 0; x < W; ++x) {
       // inverse map: output pixel -> source coordinates
-      const float dy = y - cy, dx = x - cx;
-      const float sy = ca * dy - sa * dx + cy;
-      const float sx = sa * dy + ca * dx + cx;
+      const double dy = y - cy, dx = x - cx;
+      double sy = ca * dy - sa * dx + cy;
+      double sx = sa * dy + ca * dx + cx;
+      // snap float noise at the frame border (scipy hard-cuts outside
+      // [0, size-1] for order=1 mode='constant')
+      if (sy > -1e-9 && sy < 0) sy = 0;
+      if (sx > -1e-9 && sx < 0) sx = 0;
       float* dst = out + (static_cast<int64_t>(y) * W + x) * C;
-      if (sy <= -1 || sy >= H || sx <= -1 || sx >= W) {
+      if (sy < 0 || sy > H - 1 || sx < 0 || sx > W - 1) {
         for (int c = 0; c < C; ++c) dst[c] = 0.0f;
         continue;
       }
-      // constant-mode bilinear: out-of-range neighbours contribute cval=0
-      // (matches scipy.ndimage order=1, mode='constant' at the border)
-      const int y0 = static_cast<int>(std::floor(sy));
-      const int x0 = static_cast<int>(std::floor(sx));
-      const int y1 = y0 + 1, x1 = x0 + 1;
-      const float fy = sy - y0, fx = sx - x0;
-      const bool y0v = y0 >= 0 && y0 < H, y1v = y1 >= 0 && y1 < H;
-      const bool x0v = x0 >= 0 && x0 < W, x1v = x1 >= 0 && x1 < W;
-      const float* row0 = img + static_cast<int64_t>(y0) * W * C;
-      const float* row1 = img + static_cast<int64_t>(y1) * W * C;
+      const int y0 = static_cast<int>(sy), x0 = static_cast<int>(sx);
+      const int y1 = std::min(y0 + 1, H - 1), x1 = std::min(x0 + 1, W - 1);
+      const float fy = static_cast<float>(sy - y0);
+      const float fx = static_cast<float>(sx - x0);
+      const float* p00 = img + (static_cast<int64_t>(y0) * W + x0) * C;
+      const float* p01 = img + (static_cast<int64_t>(y0) * W + x1) * C;
+      const float* p10 = img + (static_cast<int64_t>(y1) * W + x0) * C;
+      const float* p11 = img + (static_cast<int64_t>(y1) * W + x1) * C;
       for (int c = 0; c < C; ++c) {
-        const float v00 = (y0v && x0v) ? row0[x0 * C + c] : 0.0f;
-        const float v01 = (y0v && x1v) ? row0[x1 * C + c] : 0.0f;
-        const float v10 = (y1v && x0v) ? row1[x0 * C + c] : 0.0f;
-        const float v11 = (y1v && x1v) ? row1[x1 * C + c] : 0.0f;
-        const float top = v00 * (1 - fx) + v01 * fx;
-        const float bot = v10 * (1 - fx) + v11 * fx;
+        const float top = p00[c] * (1 - fx) + p01[c] * fx;
+        const float bot = p10[c] * (1 - fx) + p11[c] * fx;
         dst[c] = top * (1 - fy) + bot * fy;
       }
     }
