@@ -9,12 +9,11 @@ AiF L1, edge-aware second-order smoothness with robust L1.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .layers import TorchConv, TorchConvTranspose, torch_max_pool
 

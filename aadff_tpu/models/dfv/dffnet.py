@@ -6,8 +6,6 @@ reference's eval-path degeneracy in decoderBlock (see submodule.py).
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

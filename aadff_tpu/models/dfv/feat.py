@@ -9,10 +9,7 @@ weights from a torch state_dict file when one is supplied
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 import numpy as np
 

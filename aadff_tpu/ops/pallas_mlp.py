@@ -15,7 +15,7 @@ bf16 passes, 'highest' = full f32 for parity testing).
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,6 @@ work; `PSFNet.render` does not use it by default.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,8 +8,6 @@ Python lists (SURVEY.md §5).
 """
 from __future__ import annotations
 
-import math
-
 import matplotlib
 
 matplotlib.use("Agg")

@@ -20,14 +20,13 @@ from __future__ import annotations
 import functools
 import json
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import DEFAULT_WAVE, DEPTH, EPSILON, GEO_SPP, WAVE_RGB
-from .materials import Material
+from ..constants import DEFAULT_WAVE, DEPTH, EPSILON, GEO_SPP
 from .rays import RayBundle, make_rays, project_to, propagate_to
 from .surfaces import SurfaceMeta, SurfaceParams, make_surface, ray_reaction, sag_r2
 

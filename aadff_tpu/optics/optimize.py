@@ -10,14 +10,14 @@ the tracer is differentiable end-to-end, so any scalar figure of merit
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..constants import DEFAULT_WAVE, GEO_SPP
+from ..constants import DEFAULT_WAVE
 from .surfaces import SurfaceParams
 
 

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +23,6 @@ import numpy as np
 
 from ..constants import DEFAULT_WAVE, EPSILON, GEO_SPP, WAVE_RGB
 from .rays import RayBundle, make_rays, propagate_to
-from .surfaces import SurfaceMeta, SurfaceParams
 
 
 # --------------------------------------------------------------------------

@@ -8,12 +8,10 @@ identical so the reference's pretrained pickle converts weight-for-weight.
 from __future__ import annotations
 
 import math
-from typing import Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 class MLP(nn.Module):

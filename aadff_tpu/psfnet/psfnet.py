@@ -19,14 +19,14 @@ from __future__ import annotations
 import functools
 import logging
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..constants import DEFAULT_WAVE, DMAX, DMIN, GEO_SPP
+from ..constants import DEFAULT_WAVE, DMAX, DMIN
 from ..ops.render import local_psf_render
 from ..optics.lens import Lens
 from ..optics.psf import _psf_impl, lens_psf

@@ -22,7 +22,6 @@ from ..parallel.mesh import make_mesh, shard_batch, replicate
 from ..utils.config import load_config
 from ..utils.logging import set_logger, set_seed
 from .trainer import (
-    TrainState,
     create_train_state,
     make_aif_eval_step,
     make_aif_train_step,

@@ -13,7 +13,6 @@ import logging
 import os
 from datetime import datetime
 
-import flax
 import jax
 import jax.numpy as jnp
 import numpy as np

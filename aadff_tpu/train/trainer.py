@@ -27,7 +27,6 @@ import optax
 from ..dff import metrics as M
 from ..dff.focus import select_focus_dist
 from ..models.aifnet import AiFDepthNet, compute_loss
-from ..parallel.mesh import data_sharding, make_mesh, replicate, shard_batch
 from ..utils.image import imwrite_colormap
 
 
