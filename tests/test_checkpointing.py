@@ -1,0 +1,48 @@
+"""Checkpoint subsystem: msgpack roundtrip and Orbax step-indexed manager."""
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_state():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from aadff_tpu.models.aifnet import AiFDepthNet
+    from aadff_tpu.train.trainer import create_train_state
+
+    model = AiFDepthNet(n_stack=4)
+    optimizer = optax.adam(1e-3)
+    state = create_train_state(model, optimizer, jnp.zeros((1, 4, 64, 64, 3)),
+                               jnp.zeros((1, 4)), jax.random.PRNGKey(0))
+    return state
+
+
+def test_orbax_manager_save_restore(tiny_state, tmp_path):
+    import jax
+
+    from aadff_tpu.train.trainer import OrbaxManager, TrainState
+
+    mgr = OrbaxManager(str(tmp_path / "ckpts"), max_to_keep=2)
+    mgr.save(1, tiny_state)
+    state2 = tiny_state.replace(step=tiny_state.step + 5)
+    mgr.save(2, state2)
+    restored = mgr.restore(tiny_state)  # latest
+    assert int(restored.step) == 5
+    a = jax.tree.leaves(tiny_state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # explicit step restore
+    r1 = mgr.restore(tiny_state, step=1)
+    assert int(r1.step) == 0
+
+
+def test_orbax_retention(tiny_state, tmp_path):
+    from aadff_tpu.train.trainer import OrbaxManager
+
+    mgr = OrbaxManager(str(tmp_path / "ck2"), max_to_keep=2)
+    for s in [1, 2, 3]:
+        mgr.save(s, tiny_state)
+    steps = sorted(mgr.mgr.all_steps())
+    assert steps == [2, 3]
