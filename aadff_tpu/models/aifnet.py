@@ -155,6 +155,18 @@ class AiFDepthNet(nn.Module):
         return {f"pred_{self.disp_depth}": d_out, "pred_AiF_img": aif}
 
 
+def add_stack_index_channel(stack):
+    """Append the normalised stack index as a 4th channel
+    (reference dff/AiFNet.py:290-295, the n_channels=4 variant).
+
+    stack: [B, S, H, W, 3] -> [B, S, H, W, 4]
+    """
+    B, S, H, W, C = stack.shape
+    idx = (jnp.arange(1, S + 1, dtype=stack.dtype) / S).reshape(1, S, 1, 1, 1)
+    idx = jnp.broadcast_to(idx, (B, S, H, W, 1))
+    return jnp.concatenate([stack, idx], axis=-1)
+
+
 # ==========================================================================
 # Losses (reference dff/AiFNet.py:450-584)
 # ==========================================================================
