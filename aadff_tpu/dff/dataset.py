@@ -125,15 +125,25 @@ class FlyingThings3D(Dataset):
     def __len__(self):
         return len(self.scenes)
 
+    def _read_disp(self, scene):
+        """disp.exr as in the reference (dataset.py:79); .pfm/.npy fallbacks
+        for environments whose OpenCV lacks the EXR codec."""
+        d = self.dataset_dir
+        if os.path.exists(f"{d}/{scene}/disp.exr"):
+            return cv.imread(
+                f"{d}/{scene}/disp.exr", cv.IMREAD_ANYCOLOR | cv.IMREAD_ANYDEPTH
+            )
+        if os.path.exists(f"{d}/{scene}/disp.pfm"):
+            from ..utils.image import read_pfm
+
+            return read_pfm(f"{d}/{scene}/disp.pfm")[0]
+        return np.load(f"{d}/{scene}/disp.npy")
+
     def __getitem__(self, index):
         d = self.dataset_dir
         scene = self.scenes[index]
         resize = (self.resize[1], self.resize[0])
-        depth = cv.resize(
-            cv.imread(f"{d}/{scene}/disp.exr", cv.IMREAD_ANYCOLOR | cv.IMREAD_ANYDEPTH)
-            / self.DEPTH_FACTOR,
-            resize,
-        )
+        depth = cv.resize(self._read_disp(scene) / self.DEPTH_FACTOR, resize)
         if self.fs_num > 0:
             focused, fdists = [], []
             stack_files = sorted(glob(f"{d}/{scene}/*.png"))[:-1]
