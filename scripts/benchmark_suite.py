@@ -1,0 +1,102 @@
+"""Full benchmark suite (SURVEY.md §7 step 7): focal-stack render throughput,
+ray-traced PSFs/sec, PSFNet fit iters/sec, DFF train step/sec.
+
+Prints a JSON report; `bench.py` at the repo root remains the single-line
+driver contract (render fps only).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+LENS = os.path.join(REPO, "lenses/rf50mm.json")
+CKPT = os.path.join(REPO, "ckpt/rf50mm/psfnet_480x640_ks11.msgpack")
+H, W, KS, S = 480, 640, 11, 10
+
+
+def bench_render(net):
+    rng = np.random.default_rng(0)
+    depth = jnp.asarray(-rng.uniform(500, 15000, (1, 1, H, W)).astype(np.float32))
+    fds = jnp.asarray(-np.sort(rng.uniform(500, 15000, (1, S)))[:, ::-1].copy(),
+                      jnp.float32)
+    imgs = [jnp.asarray(rng.uniform(0, 1, (1, 3, H, W)).astype(np.float32))
+            for _ in range(8)]
+    net.render_stack(imgs[0], depth, fds).block_until_ready()
+    net.render_stack(imgs[1], depth, fds).block_until_ready()
+    t0 = time.perf_counter()
+    outs = [net.render_stack(imgs[i], depth, fds) for i in range(2, 8)]
+    jax.block_until_ready(outs)
+    return S * 6 / (time.perf_counter() - t0)
+
+
+def bench_psfs(net, spp=4096, n_points=128, n_calls=6):
+    rng = np.random.default_rng(1)
+    ptss = [jnp.asarray(np.stack([
+        rng.uniform(-1, 1, n_points), rng.uniform(-1, 1, n_points),
+        -rng.uniform(500, 20000, n_points)], -1).astype(np.float32))
+        for _ in range(n_calls)]
+    net.psf(ptss[0], spp=spp).block_until_ready()
+    net.psf(ptss[1], spp=spp).block_until_ready()
+    t0 = time.perf_counter()
+    outs = [net.psf(p, spp=spp) for p in ptss[2:]]
+    jax.block_until_ready(outs)
+    return n_points * (n_calls - 2) / (time.perf_counter() - t0)
+
+
+def bench_psfnet_fit(net, iters=100):
+    t0 = time.perf_counter()
+    net.train_psfnet(iters=iters, bs=128, lr=1e-4, spp=4096,
+                     evaluate_every=10**9, result_dir="/tmp/bench_fit")
+    return iters / (time.perf_counter() - t0)
+
+
+def bench_dff_step(net):
+    import optax
+
+    from aadff_tpu.models.aifnet import AiFDepthNet
+    from aadff_tpu.train.trainer import create_train_state, make_aif_train_step
+
+    B, n_stack = 2, 8
+    rng = np.random.default_rng(2)
+    stack = jnp.asarray(rng.uniform(0, 1, (B, n_stack, H, W, 3)).astype(np.float32))
+    fds = jnp.asarray(np.sort(rng.uniform(0.5, 15, (B, n_stack))).astype(np.float32))
+    depth = jnp.asarray(rng.uniform(0.5, 15, (B, 1, H, W)).astype(np.float32))
+    aif = jnp.asarray(rng.uniform(0, 1, (B, 3, H, W)).astype(np.float32))
+    model = AiFDepthNet(n_stack=n_stack)
+    optimizer = optax.adam(1e-4)
+    state = create_train_state(model, optimizer, stack[:1], fds[:1],
+                               jax.random.PRNGKey(0))
+    step = make_aif_train_step(model, optimizer, task="D_FS")
+    state, losses = step(state, stack, fds, depth, aif)
+    jax.block_until_ready(losses["total"])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        state, losses = step(state, stack, fds, depth, aif)
+    jax.block_until_ready(losses["total"])
+    return 3 / (time.perf_counter() - t0)
+
+
+def main():
+    from aadff_tpu.psfnet import PSFNet
+
+    net = PSFNet(filename=LENS, sensor_res=(H, W), kernel_size=KS)
+    net.load_net(CKPT)
+    report = {
+        "device": str(jax.devices()[0]),
+        "render_frames_per_sec_480x640_ks11": round(bench_render(net), 2),
+        "raytraced_psfs_per_sec_spp4096": round(bench_psfs(net), 1),
+        "psfnet_fit_iters_per_sec_bs128_spp4096": round(bench_psfnet_fit(net), 2),
+        "aifnet_train_steps_per_sec_bs2_s8": round(bench_dff_step(net), 3),
+    }
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
