@@ -17,6 +17,7 @@ Design
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 import json
 import math
@@ -508,7 +509,6 @@ class Lens:
         ray, _, _ = self.trace(ray, forward=False)
         d, ra = np.asarray(ray.d), np.asarray(ray.ra)
         tan_fov = d[..., 0] / d[..., 2]
-        fov = math.atan2(np.sum(tan_fov * ra), np.sum(ra)) if np.sum(ra) > 0 else np.nan
         fov = np.arctan(np.sum(tan_fov * ra) / np.sum(ra))
         if np.isnan(fov):
             return 0.5
@@ -738,6 +738,4 @@ class Lens:
 
 
 def dataclass_replace(obj, **kw):
-    import dataclasses
-
     return dataclasses.replace(obj, **kw)

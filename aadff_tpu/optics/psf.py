@@ -194,10 +194,6 @@ def _psf_impl(params, metas, points, key, ks, spp, wvln, center, lens_range,
     return psf
 
 
-class PSFMixin:
-    """PSF methods shared by `Lens` users (kept separate for clarity)."""
-
-
 def lens_psf(lens, points, ks=31, wvln=DEFAULT_WAVE, spp=GEO_SPP, center=True,
              key=None):
     """[N, 3] normalized points -> [N, ks, ks] PSFs (reference optics.py:915-983)."""

@@ -271,8 +271,7 @@ class PSFNet:
     # ------------------------------------------------------------------
     # Evaluation  (reference psfnet.py:248-369)
     # ------------------------------------------------------------------
-    def evaluate_psf_score(self, spp=None, n_z=40, foc_subset=None,
-                           chunk=4):
+    def evaluate_psf_score(self, spp=None, n_z=40, foc_subset=None):
         """Mean L1/L2 PSF error over the (foc, z, field-grid) lattice
         (reference psfnet.py:305-369).  Returns (avg_l1, avg_l2)."""
         spp = self.spp if spp is None else spp
@@ -291,24 +290,23 @@ class PSFNet:
         for foc_z in test_foc_z:
             foc_dist = foc_z * (self.d_max - self.d_min) + self.d_min
             self.lens.refocus(float(foc_dist))
-            for z0 in np.array_split(test_z, max(len(test_z) // chunk, 1)):
-                for z in z0:
-                    depth = z * (self.d_max - self.d_min) + self.d_min
-                    pts = jnp.asarray(
-                        np.stack([x, y, np.full_like(x, depth)], axis=-1),
-                        jnp.float32,
-                    )
-                    psf_gt = self.psf(points=pts, ks=ks, spp=spp)
-                    inp = jnp.asarray(
-                        np.stack(
-                            [x, y, np.full_like(x, z), np.full_like(x, foc_z)],
-                            axis=-1,
-                        ),
-                        jnp.float32,
-                    )
-                    pred = self.model.apply(self.variables, inp).reshape(-1, ks, ks)
-                    l2_err.append(float(jnp.sum((psf_gt - pred) ** 2) / psf_gt.size))
-                    l1_err.append(float(jnp.sum(jnp.abs(psf_gt - pred)) / psf_gt.size))
+            for z in test_z:
+                depth = z * (self.d_max - self.d_min) + self.d_min
+                pts = jnp.asarray(
+                    np.stack([x, y, np.full_like(x, depth)], axis=-1),
+                    jnp.float32,
+                )
+                psf_gt = self.psf(points=pts, ks=ks, spp=spp)
+                inp = jnp.asarray(
+                    np.stack(
+                        [x, y, np.full_like(x, z), np.full_like(x, foc_z)],
+                        axis=-1,
+                    ),
+                    jnp.float32,
+                )
+                pred = self.model.apply(self.variables, inp).reshape(-1, ks, ks)
+                l2_err.append(float(jnp.sum((psf_gt - pred) ** 2) / psf_gt.size))
+                l1_err.append(float(jnp.sum(jnp.abs(psf_gt - pred)) / psf_gt.size))
         return float(np.mean(l1_err)), float(np.mean(l2_err))
 
     def evaluate_psf(self, result_dir="./"):
