@@ -118,7 +118,8 @@ def train(args):
             state, losses = train_step(
                 state, batch["stack"], batch["fp"], batch["depth"], batch["aif"]
             )
-        logging.info(f"epoch {epoch}: loss {float(losses['total']):.4f}")
+        if "losses" in dir():
+            logging.info(f"epoch {epoch}: loss {float(losses['total']):.4f}")
 
     return state
 

@@ -137,7 +137,8 @@ def train(args):
             )
             state, loss = train_step(state, batch["stack"], batch["fp"],
                                      batch["depth"])
-        logging.info(f"epoch {epoch}: loss {float(loss):.4f}")
+        if "loss" in dir():
+            logging.info(f"epoch {epoch}: loss {float(loss):.4f}")
     return state
 
 
