@@ -54,3 +54,22 @@ def test_magnification_matches_pinhole_at_far_depth(rf50mm):
     mag = rf50mm.calc_magnification3(-20000.0, key=jax.random.PRNGKey(2))
     pin = 1 / rf50mm.calc_scale_pinhole(-20000.0)
     assert abs(mag - pin) / abs(pin) < 0.05, (mag, pin)
+
+
+def test_sample_pupil_stratified(rf50mm):
+    """Stratified ring sampling: r^2 uniform on the disc, all sectors hit
+    (reference optics.py:539-591)."""
+    import jax
+
+    o = rf50mm.sample_pupil(res=(2, 2), spp=64, key=jax.random.PRNGKey(0))
+    assert o.shape == (64, 2, 2, 3)
+    pz, pr = rf50mm.entrance_pupil()
+    x, y = np.asarray(o[..., 0]).ravel(), np.asarray(o[..., 1]).ravel()
+    r2 = x**2 + y**2
+    assert r2.max() <= pr**2 + 1e-4
+    # uniform-in-area: mean of r^2 ~ pr^2/2
+    assert abs(r2.mean() - pr**2 / 2) < 0.08 * pr**2
+    theta = np.arctan2(y, x)
+    hist, _ = np.histogram(theta, bins=8, range=(-np.pi, np.pi))
+    assert (hist > 0).all()  # every sector sampled
+    np.testing.assert_allclose(np.asarray(o[..., 2]), pz, atol=1e-5)
