@@ -178,8 +178,15 @@ class PSFNet:
     def train_psfnet(self, iters=10000, bs=128, lr=1e-4, spp=2048,
                      evaluate_every=1000, result_dir="./results/temp"):
         """Fit the surrogate with on-the-fly ray-traced labels
-        (reference psfnet.py:79-132)."""
+        (reference psfnet.py:79-132).
+
+        model_name='mlp' runs the fully-jitted point-PSF pipeline;
+        'mlpconv' trains on ray-traced PSF maps (reference psfnet.py:93-97).
+        """
         os.makedirs(result_dir, exist_ok=True)
+        if self.model_name == "mlpconv":
+            return self._train_psfnet_maps(iters, bs, lr, evaluate_every,
+                                           result_dir)
         optimizer = optax.adamw(
             optax.cosine_decay_schedule(lr, decay_steps=int(iters), alpha=0.0)
         )
@@ -205,6 +212,43 @@ class PSFNet:
                 logging.info(f"iter {i + 1}: loss {float(loss):.3e}")
                 self.save_net(f"{result_dir}/PSFNet_{self.model_name}.msgpack")
 
+        self.save_net(f"{result_dir}/PSFNet_{self.model_name}.msgpack")
+        return [float(l) for l in losses]
+
+    def _train_psfnet_maps(self, iters, bs, lr, evaluate_every, result_dir):
+        """MLPConv training on ray-traced PSF maps (reference psfnet.py:93-97,
+        173-212).  Data generation stays host-driven (each map is a fresh
+        refocus + grid trace); the update step is jitted."""
+        ks_map = self.model.ks
+        optimizer = optax.adamw(
+            optax.cosine_decay_schedule(lr, decay_steps=int(iters), alpha=0.0)
+        )
+        opt_state = optimizer.init(self.variables)
+        model = self.model
+
+        @jax.jit
+        def step(variables, opt_state, inp, maps):
+            def loss_fn(v):
+                pred = model.apply(v, inp)  # [B, ks, ks, 1]
+                tgt = jnp.transpose(maps, (0, 2, 3, 1))
+                return jnp.mean((pred - tgt) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(variables)
+            updates, opt_state = optimizer.update(grads, opt_state, variables)
+            return optax.apply_updates(variables, updates), opt_state, loss
+
+        losses = []
+        for i in range(int(iters) + 1):
+            inp, maps = self.get_training_psf_map(
+                bs=bs, psf_map_size=(ks_map, ks_map), key=self.next_key()
+            )
+            self.variables, opt_state, loss = step(
+                self.variables, opt_state, inp, maps
+            )
+            losses.append(loss)
+            if (i + 1) % evaluate_every == 0:
+                logging.info(f"iter {i + 1}: loss {float(loss):.3e}")
+                self.save_net(f"{result_dir}/PSFNet_{self.model_name}.msgpack")
         self.save_net(f"{result_dir}/PSFNet_{self.model_name}.msgpack")
         return [float(l) for l in losses]
 

@@ -41,3 +41,18 @@ def test_mlpconv_model_output_shape():
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 2)))
     out = model.apply(variables, jnp.zeros((2, 2)))
     assert out.shape == (2, 128, 128, 1)
+
+
+def test_mlpconv_training_branch():
+    """train_psfnet with the mlpconv architecture trains on PSF maps
+    (reference psfnet.py:93-97)."""
+    from aadff_tpu.psfnet import PSFNet
+
+    from conftest import LENS_RF50
+
+    net = PSFNet(LENS_RF50, model_name="mlpconv", kernel_size=11,
+                 sensor_res=(64, 64))
+    net.spp = 128
+    losses = net.train_psfnet(iters=2, bs=1, lr=1e-4, evaluate_every=1000,
+                              result_dir="/tmp/mlpconv_train_test")
+    assert len(losses) == 3 and all(np.isfinite(losses))
