@@ -81,3 +81,21 @@ def test_prune_surf_keeps_rays_valid():
                     jnp.broadcast_to(tgt - o, (16, 3)))
     out, valid, _ = lens.trace(ray)
     assert bool(np.asarray(valid).all())
+
+
+def test_set_aperture_and_correct_shape():
+    from aadff_tpu.optics import Lens
+
+    from conftest import LENS_RF50
+
+    lens = Lens(LENS_RF50, sensor_res=(480, 640))
+    lens.set_aperture(fnum=4.0)
+    r = lens.metas[lens.aper_idx].r
+    assert abs(r - lens.foclen / 4.0 / 2) < 1e-6
+    assert abs(lens.fnum - lens.foclen / r / 2) < 1e-6
+
+    lens2 = Lens(LENS_RF50, sensor_res=(480, 640))
+    changed = lens2.correct_shape()
+    # a well-formed lens needs no ordering fixes; first surface moves to z=0
+    assert changed is False
+    assert abs(float(lens2.params[0].d)) < 1e-6
