@@ -173,9 +173,20 @@ def validate(eval_step, state, test_lens, val_loader, n_stack, epoch, args,
         n_val += 1
 
         if save_images:
+            import cv2 as cv
+
             imwrite_colormap(f"{result_img_dir}/img{idx}_pred.png", pd,
                              vmax=gt.max())
             imwrite_colormap(f"{result_img_dir}/img{idx}_gt.png", gt)
+            # AiF predictions, normalized like the reference's save_image
+            # (2_aber_aware_dff_aif.py:222-224)
+            for tag, img in (("pred_aif", pred_aif[0]), ("gt_aif", aif[0])):
+                a = np.transpose(np.asarray(img), (1, 2, 0))
+                lo, hi = a.min(), a.max()
+                a = (a - lo) / max(hi - lo, 1e-12)
+                cv.imwrite(f"{result_img_dir}/img{idx}_{tag}.png",
+                           cv.cvtColor((a * 255).astype(np.uint8),
+                                       cv.COLOR_RGB2BGR))
 
     n_val = max(n_val, 1)
     scores = {k: v / n_val for k, v in sums.items()}
