@@ -116,3 +116,34 @@ def test_make_grid_and_mtf(rf50mm):
                    key=jax.random.PRNGKey(1))
     freq, mtf_t, mtf_s = psf2mtf(psf, rf50mm.pixel_size)
     assert mtf_t.max() <= 1.0 and mtf_s.max() <= 1.0 and len(freq) > 0
+
+
+def test_psf_center_false_perspective(rf50mm):
+    """center=False uses the perspective PSF centre (reference optics.py:970-975):
+    off-axis PSFs shift relative to chief-ray centring but stay normalised."""
+    pts = jnp.asarray([[0.6, 0.6, -2400.0]])
+    a = lens_psf(rf50mm, pts, ks=11, spp=2048, center=True,
+                 key=jax.random.PRNGKey(0))
+    b = lens_psf(rf50mm, pts, ks=11, spp=2048, center=False,
+                 key=jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(a.sum()), 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(b.sum()), 1.0, atol=1e-4)
+    # centroids differ (distortion shifts the perspective centre)
+    def centroid(p):
+        g = np.arange(11)
+        p = np.asarray(p[0])
+        return (p.sum(0) @ g, p.sum(1) @ g)
+    assert not np.allclose(centroid(a), centroid(b), atol=0.05)
+
+
+def test_psf_second_lens(rf50mm):
+    """All-spheric 50mm f/2.8 lens: PSFs normalised and finite."""
+    from aadff_tpu.optics import Lens
+
+    from conftest import LENS_50F28
+
+    lens = Lens(LENS_50F28, sensor_res=(480, 640))
+    psf = lens_psf(lens, jnp.asarray([[0.3, -0.4, -3000.0]]), ks=11, spp=2048,
+                   key=jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(psf)).all()
+    np.testing.assert_allclose(np.asarray(psf.sum()), 1.0, atol=1e-5)
