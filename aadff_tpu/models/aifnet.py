@@ -82,6 +82,7 @@ class AiFDepthNet(nn.Module):
     disp_depth: str = "depth"
     stage2: str = "attention"
     normalize_attention: bool = False
+    remat: bool = False  # rematerialise Mixed blocks (memory for FLOPs)
 
     @nn.compact
     def __call__(self, stack, focus_position, train: bool = False):
@@ -89,26 +90,32 @@ class AiFDepthNet(nn.Module):
         x = stack
         B, S, H, W, C = x.shape
 
+        MixedBlock = nn.remat(Mixed, static_argnums=(2,)) if self.remat else Mixed
+
         conv1a = Conv3dBN(64, (7, 7, 7), (1, 2, 2), (3, 3, 3))(x, train)
         h = torch_max_pool(conv1a, (1, 3, 3), (1, 2, 2), (0, 1, 1))
         conv2c = Conv3dBN(192, (3, 3, 3), p=(1, 1, 1))(Conv3dBN(64)(h, train), train)
         h = torch_max_pool(conv2c, (1, 3, 3), (1, 2, 2), (0, 1, 1))
-        mix3c = Mixed((128, 128, 192, 32, 96, 64))(
-            Mixed((64, 96, 128, 16, 32, 32))(h, train), train
+        mix3c = MixedBlock((128, 128, 192, 32, 96, 64), name="Mixed_3c")(
+            MixedBlock((64, 96, 128, 16, 32, 32), name="Mixed_3b")(h, train),
+            train,
         )
         h = torch_max_pool(mix3c, (1, 3, 3), (1, 2, 2), (0, 1, 1))
-        mix4f = Mixed((256, 160, 320, 32, 128, 128))(
-            Mixed((112, 144, 288, 32, 64, 64))(
-                Mixed((128, 128, 256, 24, 64, 64))(
-                    Mixed((160, 112, 224, 24, 64, 64))(
-                        Mixed((192, 96, 208, 16, 48, 64))(h, train), train
+        mix4f = MixedBlock((256, 160, 320, 32, 128, 128), name="Mixed_4f")(
+            MixedBlock((112, 144, 288, 32, 64, 64), name="Mixed_4e")(
+                MixedBlock((128, 128, 256, 24, 64, 64), name="Mixed_4d")(
+                    MixedBlock((160, 112, 224, 24, 64, 64), name="Mixed_4c")(
+                        MixedBlock((192, 96, 208, 16, 48, 64), name="Mixed_4b")(
+                            h, train
+                        ), train
                     ), train
                 ), train
             ), train
         )
         h = torch_max_pool(mix4f, (1, 2, 2), (1, 2, 2), (0, 0, 0))
-        mix5c = Mixed((384, 192, 384, 48, 128, 128))(
-            Mixed((256, 160, 320, 32, 128, 128))(h, train), train
+        mix5c = MixedBlock((384, 192, 384, 48, 128, 128), name="Mixed_5c")(
+            MixedBlock((256, 160, 320, 32, 128, 128), name="Mixed_5b")(h, train),
+            train,
         )
 
         # Decoder (reference AiFNet.py:206-254)

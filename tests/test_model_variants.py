@@ -64,3 +64,20 @@ def test_factory_thinlens_branch():
     depth = -np.full((1, 1, 64, 64), 2400.0, np.float32)
     out = np.asarray(train_lens.render(img + 0.5, depth, np.asarray([-2400.0])))
     assert out.shape == img.shape and np.isfinite(out).all()
+
+
+def test_aifnet_remat_matches_plain():
+    """remat=True trades memory for FLOPs without changing the math."""
+    import optax
+
+    from aadff_tpu.models.aifnet import AiFDepthNet
+
+    stack = jnp.ones((1, 4, 64, 64, 3)) * 0.3
+    fp = jnp.linspace(0.5, 3.0, 4)[None]
+    plain = AiFDepthNet(n_stack=4)
+    variables = plain.init(jax.random.PRNGKey(0), stack, fp)
+    a = plain.apply(variables, stack, fp)
+    remat = AiFDepthNet(n_stack=4, remat=True)
+    b = remat.apply(variables, stack, fp)
+    np.testing.assert_allclose(np.asarray(a["pred_depth"]),
+                               np.asarray(b["pred_depth"]), atol=1e-6)
