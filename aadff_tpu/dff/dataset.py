@@ -167,7 +167,13 @@ class FlyingThings3D(Dataset):
 
 
 class Middlebury(Dataset):
-    """Middlebury2014/2021 eval set (reference dff/dataset.py:173-205)."""
+    """Middlebury2014/2021 eval set (reference dff/dataset.py:173-205).
+
+    The reference stores a ``train`` flag but applies the same transform
+    either way; here ``train=True`` actually enables the shared augmentation
+    policy (like Matterport3D/FlyingThings3D) so the set can be trained on.
+    Default ``train=False`` keeps exact reference eval behavior.
+    """
 
     def __init__(self, dataset_dir, resize=None, train=False):
         self.dataset_dir = dataset_dir
@@ -183,6 +189,8 @@ class Middlebury(Dataset):
         resize = (self.resize[1], self.resize[0])
         aif = cv.cvtColor(cv.imread(f"{d}/{scene}/im0.png"), cv.COLOR_BGR2RGB) / 255.0
         depth = cv.resize(cv.imread(f"{d}/{scene}/depth.png", -1) / 1000, resize)
+        if self.train:
+            aif, depth = auto_augment(aif, depth)
         aif = _resize_hw(aif.astype(np.float32), self.resize)
         return [_to_chw(aif), depth[None].astype(np.float32)]
 
@@ -255,11 +263,15 @@ class NumpyLoader:
         DONE = object()
 
         def worker():
+            # Exceptions (corrupt/missing files) are forwarded to the consumer
+            # so a failed __getitem__ raises in the training loop instead of
+            # silently truncating the epoch.
             try:
                 for batch in self._batches():
                     q.put(batch)
-            finally:
                 q.put(DONE)
+            except BaseException as e:  # noqa: BLE001 - re-raised on consumer side
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -267,4 +279,6 @@ class NumpyLoader:
             item = q.get()
             if item is DONE:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

@@ -643,6 +643,7 @@ class Lens:
         metas[self.aper_idx] = dataclass_replace(m, r=float(aper_r))
         self.metas = tuple(metas)
         self._pupil_cache = {}
+        self._focus_cache = {}
         self.fnum = self.foclen / aper_r / 2
 
     def perturb(self, ratio=0.001, thickness_precision=0.0005,
@@ -673,9 +674,20 @@ class Lens:
         return 100.0
 
     def prune_surf(self, outer=None):
-        """Prune surface apertures to the traced ray envelope (optics.py:1443-1501)."""
+        """Prune surface apertures to the traced ray envelope
+        (reference optics.py:1444-1453 — delegates to pruning_v2)."""
         outer = self.r_last * 0.05 if outer is None else outer
-        surface_range = self.find_diff_surf()
+        self.pruning_v2(outer=outer)
+
+    def pruning_v2(self, outer=None, surface_range=None):
+        """Prune surfaces to the minimum height passing all valid rays
+        (reference optics.py:1457-1501): reset apertures to the sensor
+        radius, trace a max-FoV 2D fan, clamp each aperture to the traced
+        ray envelope + `outer`, enforce front<=back heights at cemented
+        interfaces, and cap by the surface's own max height."""
+        outer = self.r_last * 0.05 if outer is None else outer
+        if surface_range is None:
+            surface_range = self.find_diff_surf()
 
         metas = list(self.metas)
         for i in surface_range:
@@ -704,6 +716,7 @@ class Lens:
             metas[i] = dataclass_replace(metas[i], r=min(metas[i].r, mh))
         self.metas = tuple(metas)
         self._pupil_cache = {}
+        self._focus_cache = {}
 
     def correct_shape(self):
         """Fix degenerate geometry during lens optimisation (optics.py:1504-1545)."""

@@ -121,3 +121,50 @@ class Siren(nn.Module):
                           is_first=(i == 0))(x)
         x = nn.Dense(self.dim_out)(x)
         return x
+
+
+class ModulateSiren(nn.Module):
+    """Latent-modulated SIREN image decoder (psfnet_arch.py:168-248; unused
+    by the reference training scripts, ported for component parity).
+
+    A fixed [-1, 1]^2 position grid over (H, W) runs through `num_layers`
+    sine layers; each activation is gated by a ReLU-MLP "modulator" of the
+    latent code (layer i>0 sees concat(latent, prev modulator state)).  The
+    head is a linear layer + tanh -> [1, 1, H, W].
+    """
+
+    dim_out: int
+    dim_hidden: int
+    dim_latent: int
+    num_layers: int
+    image_width: int
+    image_height: int
+    w0: float = 1.0
+    w0_initial: float = 30.0
+
+    @nn.compact
+    def __call__(self, latent):
+        latent = jnp.asarray(latent).reshape(-1)[None, :]  # [1, dim_latent]
+
+        ys = jnp.linspace(-1, 1, self.image_height)
+        xs = jnp.linspace(-1, 1, self.image_width)
+        gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+        x = jnp.stack([gy, gx], axis=-1).reshape(-1, 2)  # [(h w), 2]
+
+        kaiming = nn.initializers.kaiming_normal()
+        z = None
+        for i in range(self.num_layers):
+            mod_in = latent if i == 0 else jnp.concatenate(
+                [latent, z], axis=-1
+            )
+            z = nn.relu(nn.Dense(self.dim_hidden, kernel_init=kaiming)(mod_in))
+            x = SineLayer(
+                self.dim_hidden,
+                w0=self.w0_initial if i == 0 else self.w0,
+                is_first=(i == 0),
+            )(x)
+            x = x * z  # [hw, dh] * [1, dh]
+        x = nn.Dense(self.dim_out, kernel_init=kaiming)(x)
+        x = jnp.tanh(x)
+        x = x.reshape(-1, self.image_height, self.image_width, self.dim_out)
+        return jnp.transpose(x, (0, 3, 1, 2))  # NCHW like the reference

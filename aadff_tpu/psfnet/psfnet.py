@@ -38,11 +38,18 @@ class PSFNet:
     """Lens + implicit PSF representation (reference psfnet.py:14-481)."""
 
     def __init__(self, filename, model_name="mlp", kernel_size=11,
-                 sensor_res=(512, 512), seed=0):
+                 sensor_res=(512, 512), seed=0, render_dtype="bf16"):
         self.lens = Lens(filename, sensor_res=sensor_res, seed=seed)
         self.in_features = 4
         self.kernel_size = kernel_size
         self.model_name = model_name
+        # MXU compute dtype of the production (Pallas) render path.  bf16
+        # single-pass matmuls with f32 accumulation are ~2x the f32 path and
+        # the output error (~1e-3 relative) is below the surrogate's own model
+        # error vs ray tracing (gated by tests/test_pallas.py); 'f32' forces
+        # full-precision matmuls.
+        assert render_dtype in ("bf16", "f32")
+        self.render_dtype = render_dtype
 
         # Training settings (reference psfnet.py:26-38)
         self.spp = 4096
@@ -199,7 +206,10 @@ class PSFNet:
             self.lens.refocus(float(foc_d))
             foc_states[float(foc_z)] = self._lens_scalars()
 
-        losses = []  # device arrays; converted once at the end (no per-step sync)
+        # Keep at most `evaluate_every` live device scalars: pending losses are
+        # flushed to host floats at each eval interval (one sync per interval,
+        # not one per step; no 100k-buffer retention over a long fit).
+        losses, pending = [], []
         for i in range(int(iters) + 1):
             foc_z = float(self._np_rng.choice(self.foc_z_arr))
             scalars = foc_states[foc_z]
@@ -207,13 +217,16 @@ class PSFNet:
                 self.variables, opt_state, self.next_key(),
                 jnp.float32(foc_z), self.lens.params, scalars,
             )
-            losses.append(loss)
+            pending.append(loss)
             if (i + 1) % evaluate_every == 0:
-                logging.info(f"iter {i + 1}: loss {float(loss):.3e}")
+                losses.extend(float(l) for l in pending)
+                pending.clear()
+                logging.info(f"iter {i + 1}: loss {losses[-1]:.3e}")
                 self.save_net(f"{result_dir}/PSFNet_{self.model_name}.msgpack")
 
+        losses.extend(float(l) for l in pending)
         self.save_net(f"{result_dir}/PSFNet_{self.model_name}.msgpack")
-        return [float(l) for l in losses]
+        return losses
 
     def _train_psfnet_maps(self, iters, bs, lr, evaluate_every, result_dir):
         """MLPConv training on ray-traced PSF maps (reference psfnet.py:93-97,
@@ -353,9 +366,28 @@ class PSFNet:
                 l1_err.append(float(jnp.sum(jnp.abs(psf_gt - pred)) / psf_gt.size))
         return float(np.mean(l1_err)), float(np.mean(l2_err))
 
+    def thin_lens_psf(self, depth, foc_dist, thinlens=None):
+        """Thin-lens Gaussian-CoC PSF [ks, ks] (reference psfnet.py:268-301):
+        un-clipped Gaussian of the CoC radius, masked to the CoC disc, L1
+        normalised.  Shift-invariant — one kernel per (depth, foc_dist)."""
+        ks = self.kernel_size
+        if thinlens is None:
+            thinlens = ThinLens(self.lens.foclen, self.lens.fnum, ks,
+                                self.lens.sensor_size, self.lens.sensor_res)
+        xg, yg = jnp.meshgrid(
+            jnp.linspace(-ks / 2 + 0.5, ks / 2 - 0.5, ks),
+            jnp.linspace(-ks / 2 + 0.5, ks / 2 - 0.5, ks),
+            indexing="xy",
+        )
+        radius = thinlens.coc(depth, foc_dist) / 2
+        r2 = xg**2 + yg**2
+        psf = jnp.exp(-r2 / (2 * radius**2)) * (r2 < radius**2)
+        return psf / jnp.maximum(psf.sum(), 1e-12)
+
     def evaluate_psf(self, result_dir="./"):
         """Qualitative GT / prediction / thin-lens comparison
-        (reference psfnet.py:248-302).  Saves PNG panels."""
+        (reference psfnet.py:248-302).  Saves 3-row PNG panels; lens focuses
+        at 1.5 m, PSFs evaluated at 1.2 / 1.5 / 2 m and 3 field points."""
         import matplotlib
 
         matplotlib.use("Agg")
@@ -379,13 +411,16 @@ class PSFNet:
                     [x, y, jnp.full_like(x, z), jnp.full_like(x, foc_z)], axis=-1
                 )
                 psf_pred = self.model.apply(self.variables, inp).reshape(-1, ks, ks)
+                psf_thin = self.thin_lens_psf(depth, foc_dist, thinlens)
 
-                fig, axs = plt.subplots(2, len(x), figsize=(3 * len(x), 6))
+                fig, axs = plt.subplots(3, len(x), figsize=(3 * len(x), 9))
                 for i in range(len(x)):
                     axs[0, i].imshow(np.asarray(psf_gt[i]), vmin=0, vmax=0.1)
                     axs[0, i].set_title("GT")
                     axs[1, i].imshow(np.asarray(psf_pred[i]), vmin=0, vmax=0.1)
                     axs[1, i].set_title("pred")
+                    axs[2, i].imshow(np.asarray(psf_thin), vmin=0, vmax=0.1)
+                    axs[2, i].set_title("thin lens")
                 fig.savefig(
                     f"{result_dir}/foc{-foc_dist:.0f}_depth{-depth:.0f}.png", dpi=150
                 )
@@ -400,12 +435,14 @@ class PSFNet:
         return psf.reshape(*psf.shape[:-1], self.kernel_size, self.kernel_size)
 
     def _get_render_jit(self, use_pallas: bool):
-        key = ("pallas" if use_pallas else "xla")
+        key = (f"pallas_{self.render_dtype}" if use_pallas else "xla")
         if self._render_jit is None:
             self._render_jit = {}
         if key not in self._render_jit:
             model, ks = self.model, self.kernel_size
             d_min, d_max = self.d_min, self.d_max
+            compute_dtype = (jnp.bfloat16 if self.render_dtype == "bf16"
+                             else jnp.float32)
 
             @jax.jit
             def render_impl(variables, img, depth, foc_dist):
@@ -426,7 +463,11 @@ class PSFNet:
                     from ..ops.pallas_mlp import flax_mlp_weights, mlp_psf_pallas
 
                     psf = mlp_psf_pallas(
-                        o.reshape(-1, 4), flax_mlp_weights(variables), ks * ks
+                        o.reshape(-1, 4), flax_mlp_weights(variables), ks * ks,
+                        compute_dtype=compute_dtype,
+                        # interpret mode makes the kernel runnable on the CPU
+                        # test mesh; on TPU it compiles via Mosaic as usual
+                        interpret=jax.default_backend() == "cpu",
                     )
                 else:
                     psf = model.apply(variables, o.reshape(-1, 4))
@@ -437,7 +478,7 @@ class PSFNet:
         return self._render_jit[key]
 
     def _get_stack_jit(self, use_pallas: bool):
-        key = ("stack_pallas" if use_pallas else "stack_xla")
+        key = (f"stack_pallas_{self.render_dtype}" if use_pallas else "stack_xla")
         if self._render_jit is None:
             self._render_jit = {}
         if key not in self._render_jit:

@@ -98,6 +98,7 @@ def train(args):
                 args["acc1_max"] = scores["acc1"]
                 save_checkpoint(args["results_dir"], state, "best_acc1")
 
+        epoch_loss, n_batches = 0.0, 0
         for aif, depth in train_loader:
             mask = depth > 0
             avg_depth = depth.sum(axis=(1, 2, 3)) / np.maximum(
@@ -118,8 +119,10 @@ def train(args):
             state, losses = train_step(
                 state, batch["stack"], batch["fp"], batch["depth"], batch["aif"]
             )
-        if "losses" in dir():
-            logging.info(f"epoch {epoch}: loss {float(losses['total']):.4f}")
+            epoch_loss += float(losses["total"])
+            n_batches += 1
+        if n_batches:
+            logging.info(f"epoch {epoch}: loss {epoch_loss / n_batches:.4f}")
 
     return state
 

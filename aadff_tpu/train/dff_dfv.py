@@ -125,6 +125,7 @@ def train(args):
             if scores["mse"] < args["mse_min"]:
                 args["mse_min"] = scores["mse"]
                 save_checkpoint(args["results_dir"], state, "best")
+        epoch_loss, n_batches = 0.0, 0
         for aif, depth in train_loader:
             if np.isnan(depth).any():
                 continue
@@ -137,8 +138,10 @@ def train(args):
             )
             state, loss = train_step(state, batch["stack"], batch["fp"],
                                      batch["depth"])
-        if "loss" in dir():
-            logging.info(f"epoch {epoch}: loss {float(loss):.4f}")
+            epoch_loss += float(loss)
+            n_batches += 1
+        if n_batches:
+            logging.info(f"epoch {epoch}: loss {epoch_loss / n_batches:.4f}")
     return state
 
 

@@ -85,6 +85,11 @@ def make_aif_train_step(model: AiFDepthNet, optimizer, task: str,
             lambda new, old: jnp.where(ok, new, old) if hasattr(new, "shape")
             else new, opt_state, state.opt_state,
         )
+        # batch_stats too: a poisoned forward pass would otherwise bake NaNs
+        # into BN running stats (momentum average with NaN stays NaN forever).
+        new_bs = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old), new_bs, state.batch_stats
+        )
         losses["skipped_nonfinite"] = (~ok).astype(jnp.float32)
 
         new_state = TrainState(
@@ -113,16 +118,17 @@ def render_focal_stack(lens, aif, depth, focus_dists):
     aif: [B, C, H, W]; depth: [B, 1, H, W] in m (>0); focus_dists: [B, S] in m.
     Returns [B, S, H, W, C] (channels-last for the models).
     """
+    depth_mm = jnp.asarray(depth, jnp.float32) * -1e3
+    fds_mm = jnp.asarray(focus_dists, jnp.float32) * -1e3
     if hasattr(lens, "render_stack"):
-        stack = lens.render_stack(
-            aif, -np.asarray(depth) * 1e3, -np.asarray(focus_dists) * 1e3
-        )  # [B, S, C, H, W], one jitted program
+        # device-resident unit conversion: sharded inputs stay sharded, so the
+        # render itself runs data-parallel over the mesh (no host round-trip)
+        stack = lens.render_stack(aif, depth_mm, fds_mm)  # [B, S, C, H, W]
     else:
         frames = []
         S = focus_dists.shape[1]
         for i in range(S):
-            img = lens.render(aif, -np.asarray(depth) * 1e3,
-                              -np.asarray(focus_dists[:, i]) * 1e3)
+            img = lens.render(aif, depth_mm, fds_mm[:, i])
             frames.append(img)
         stack = jnp.stack(frames, axis=1)  # [B, S, C, H, W]
     return jnp.transpose(stack, (0, 1, 3, 4, 2))

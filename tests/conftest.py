@@ -48,7 +48,8 @@ def import_reference(module: str):
     import types
 
     for name in [
-        "skimage", "skimage.metrics", "lpips",
+        "skimage", "skimage.metrics", "skimage.morphology",
+        "skimage.filters", "lpips",
         "torchvision", "torchvision.utils", "torchvision.transforms",
         "torchvision.transforms.functional", "torchvision.models",
     ]:
@@ -56,6 +57,8 @@ def import_reference(module: str):
             sys.modules[name] = types.ModuleType(name)
     sys.modules["skimage.metrics"].peak_signal_noise_ratio = lambda *a, **k: 0
     sys.modules["skimage.metrics"].structural_similarity = lambda *a, **k: 0
+    sys.modules["skimage.morphology"].disk = lambda *a, **k: None
+    sys.modules["skimage.morphology"].closing = lambda *a, **k: None
     sys.modules["torchvision.utils"].save_image = lambda *a, **k: None
     sys.modules["torchvision.utils"].make_grid = lambda *a, **k: None
     if not hasattr(sys.modules["lpips"], "LPIPS"):

@@ -65,6 +65,34 @@ def test_select_focus_dist_linear():
     assert np.isclose(fd[0, -1], depth[0].max())
 
 
+def test_select_focus_dist_importance_matches_reference():
+    """Exact parity with the reference importance sampler (dff/utils.py:32-45)
+    at B=1 (the reference's tensor `if` only supports B=1), using a shim that
+    feeds both implementations the same legacy-numpy random stream."""
+    torch = pytest.importorskip("torch")
+    from conftest import import_reference
+
+    ref_mod = import_reference("dff.utils")
+
+    class _LegacyStream:
+        """rng adapter: ours calls .random(); route it to np.random.rand() so
+        the draw sequence is identical to the reference's."""
+
+        def random(self):
+            return np.random.rand()
+
+    rng = np.random.default_rng(11)
+    depth = rng.uniform(0.5, 3.0, (1, 1, 16, 16)).astype(np.float32)
+
+    np.random.seed(7)
+    ref = ref_mod.select_focus_dist(torch.from_numpy(depth), 6, mode="importance")
+    np.random.seed(7)
+    ours = select_focus_dist(depth, 6, mode="importance", rng=_LegacyStream())
+
+    assert ours.shape == tuple(ref.shape)  # the reference's num-2 quirk
+    np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-6)
+
+
 def test_auto_augment_preserves_shapes():
     rng = np.random.default_rng(4)
     img = rng.uniform(0, 1, (24, 32, 3))

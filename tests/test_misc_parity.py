@@ -83,6 +83,50 @@ def test_prune_surf_keeps_rays_valid():
     assert bool(np.asarray(valid).all())
 
 
+def test_pruning_v2_surface_range_and_cache_invalidation():
+    """pruning_v2 honours an explicit surface_range (reference
+    optics.py:1457-1501) and aperture mutations invalidate the focus cache
+    so a later refocus() reflects the new geometry."""
+    lens = Lens(LENS_RF50, sensor_res=(480, 640))
+    subset = lens.find_diff_surf()[:2]
+    r_before = [m.r for m in lens.metas]
+    lens.pruning_v2(surface_range=subset)
+    r_after = [m.r for m in lens.metas]
+    untouched = [i for i in range(len(r_before))
+                 if i not in subset and i != lens.aper_idx]
+    assert all(r_before[i] == r_after[i] for i in untouched)
+
+    # focus-cache invalidation: refocus, mutate the aperture, refocus again
+    lens2 = Lens(LENS_RF50, sensor_res=(480, 640))
+    lens2.refocus(-2400.0)
+    _, pupil_r_before = lens2.entrance_pupil()
+    lens2.set_aperture(fnum=8.0)
+    lens2.refocus(-2400.0)  # previously cached depth
+    _, pupil_r_after = lens2.entrance_pupil()
+    assert pupil_r_after < pupil_r_before * 0.6  # f/1.87 -> f/8 shrinks pupil
+
+
+def test_modulate_siren_shapes_and_range():
+    """ModulateSiren decodes a latent into a tanh image [1, C, H, W]
+    (reference psfnet_arch.py:168-248)."""
+    import jax
+
+    from aadff_tpu.psfnet import ModulateSiren
+
+    model = ModulateSiren(dim_out=1, dim_hidden=64, dim_latent=16,
+                          num_layers=3, image_width=24, image_height=16)
+    latent = jnp.asarray(np.random.default_rng(0).normal(size=(16,)),
+                         jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), latent)
+    out = model.apply(variables, latent)
+    assert out.shape == (1, 1, 16, 24)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.abs(np.asarray(out)).max() <= 1.0
+    # modulation actually modulates: different latents give different images
+    out2 = model.apply(variables, latent + 1.0)
+    assert np.abs(np.asarray(out - out2)).max() > 1e-4
+
+
 def test_set_aperture_and_correct_shape():
     from aadff_tpu.optics import Lens
 

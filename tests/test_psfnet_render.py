@@ -206,10 +206,14 @@ def test_thinlens_render_shapes():
 
 
 def test_psfnet_train_step_decreases_loss():
-    """A few jitted train steps on tiny spp reduce the MSE."""
+    """Jitted train steps actually reduce the MSE: median of the last third
+    of the loss curve is below the median of the first third."""
     net = PSFNet(LENS_RF50, kernel_size=11, sensor_res=(480, 640))
-    losses = net.train_psfnet(iters=12, bs=16, lr=3e-4, spp=256,
+    losses = net.train_psfnet(iters=30, bs=32, lr=1e-3, spp=256,
                               evaluate_every=1000, result_dir="/tmp/psfnet_test")
-    assert len(losses) > 2
-    assert losses[-1] < losses[0] * 1.5  # noisy, but should not blow up
+    assert len(losses) > 9
     assert np.isfinite(losses).all()
+    third = len(losses) // 3
+    head = np.median(losses[:third])
+    tail = np.median(losses[-third:])
+    assert tail < head, (head, tail)
