@@ -42,11 +42,13 @@ def _kernel(n_layers: int, precision, compute_dtype, *refs):
     w_refs = refs[1 : 1 + 2 * n_layers]
     out_ref = refs[1 + 2 * n_layers]
 
+    # Weights arrive pre-cast to compute_dtype (see mlp_psf_pallas), so the
+    # only per-tile cast is the [tile, d] activation.
     h = field_ref[:]
     for li in range(n_layers):
         w = w_refs[2 * li][:]
         b = w_refs[2 * li + 1][:]
-        h = jnp.dot(h.astype(compute_dtype), w.astype(compute_dtype),
+        h = jnp.dot(h.astype(compute_dtype), w,
                     preferred_element_type=jnp.float32,
                     precision=precision) + b.astype(jnp.float32)
         if li < n_layers - 1:
@@ -76,6 +78,9 @@ def mlp_psf_pallas(field, weights, out_dim: int, precision: str = "default",
         )
     n_tiles = field.shape[0] // tile
     n_layers = len(weights)
+    # Cast the (tile-invariant) kernels once outside the grid: halves their
+    # VMEM footprint under bf16 and removes 2.4 MB of per-tile cast work.
+    weights = tuple((w.astype(compute_dtype), b) for w, b in weights)
 
     flat_w = []
     in_specs = [

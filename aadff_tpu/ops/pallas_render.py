@@ -19,12 +19,18 @@ The image stays in HBM (`memory_space=ANY`); each step DMAs its
 (TH+ks-1, TW+ks-1) halo into VMEM scratch and overlaps the copy with the
 MLP matmuls.
 
-Status: exact (matches the XLA path to 5e-7) but measured ~25% slower than
+Round-1 status: exact (matches the XLA path to 5e-7) but ~25% slower than
 the production path (pallas MLP + XLA tap-scan conv) on v5e — the ks^2
-statically-unrolled unaligned VPU loads in the tap loop cost more than the
-HBM traffic they save, and the feature-major matmul layout underperforms the
-pixel-major one.  Kept as a tested alternative / baseline for future kernel
-work; `PSFNet.render` does not use it by default.
+statically-unrolled lane-unaligned VPU loads in the tap loop cost more than
+the HBM traffic they save.
+
+Round-2 rework of the tap loop: the ks^2 lane-unaligned reads (each tap read
+halo[:, di:di+TH, dj:dj+TW], a lane-rotate per tap) become ks *slab* stages:
+for each column shift dj, one lane-shifted slab halo[:, :, dj:dj+TW] is
+staged through an aligned scratch buffer, and the ks row shifts inside it are
+sublane-offset reads (cheap).  Lane rotations drop ks-fold (121 -> 11).
+Matmuls optionally run bf16 (`compute_dtype`), matching the production MLP
+kernel.
 """
 from __future__ import annotations
 
@@ -40,19 +46,24 @@ TH, TW = 8, 128
 SUB_PAD, LANE_PAD = 24, 256  # tile-aligned halo staging shapes
 
 
-def transpose_weights(weights):
-    """(w [in,out], b [1,out]) pairs -> (wT [out,in], bT [out,1])."""
-    return tuple((jnp.transpose(w), jnp.transpose(b)) for w, b in weights)
+def transpose_weights(weights, compute_dtype=jnp.float32):
+    """(w [in,out], b [1,out]) pairs -> (wT [out,in] in compute_dtype,
+    bT [out,1] in f32)."""
+    return tuple(
+        (jnp.transpose(w).astype(compute_dtype), jnp.transpose(b))
+        for w, b in weights
+    )
 
 
-def _kernel(n_layers: int, ks: int, C: int, *refs):
+def _kernel(n_layers: int, ks: int, C: int, compute_dtype, *refs):
     field_ref = refs[0]          # [4, TH, TW] VMEM
     img_ref = refs[1]            # [C, H+ks-1, W+ks-1] HBM/ANY
     w_refs = refs[2 : 2 + 2 * n_layers]
     out_ref = refs[2 + 2 * n_layers]      # [C, TH, TW] VMEM
-    halo = refs[3 + 2 * n_layers]         # scratch [C, TH+ks-1, TW+ks-1]
+    halo = refs[3 + 2 * n_layers]         # scratch [C, SUB_PAD, LANE_PAD]
     psf_scratch = refs[4 + 2 * n_layers]  # scratch [ks*ks, TH, TW]
-    sem = refs[5 + 2 * n_layers]
+    slab = refs[5 + 2 * n_layers]         # scratch [C, SUB_PAD, TW]
+    sem = refs[6 + 2 * n_layers]
 
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -72,10 +83,8 @@ def _kernel(n_layers: int, ks: int, C: int, *refs):
     for li in range(n_layers):
         wT = w_refs[2 * li][:]
         bT = w_refs[2 * li + 1][:]
-        h = (
-            jnp.dot(wT, h, preferred_element_type=jnp.float32)
-            + bT
-        )
+        h = jnp.dot(wT, h.astype(compute_dtype),
+                    preferred_element_type=jnp.float32) + bT
         if li < n_layers - 1:
             h = jnp.maximum(h, 0.0)
     p = jax.nn.sigmoid(h)                          # [ks*ks, TH*TW]
@@ -87,28 +96,30 @@ def _kernel(n_layers: int, ks: int, C: int, *refs):
     dma.wait()
 
     acc = jnp.zeros((C, TH, TW), jnp.float32)
-    # static unroll: Mosaic requires statically-known (un)aligned offsets for
-    # strided vector loads; ks^2 taps with constant shifts compile to shifted
-    # loads + FMAs on the VPU
-    for k in range(ks * ks):
-        di, dj = k // ks, k % ks
-        patch = halo[:, di : di + TH, dj : dj + TW]        # [C, TH, TW]
-        acc = acc + patch * psf_scratch[k][None]
+    # slab-staged taps: one lane shift per column offset dj (written through
+    # an aligned scratch), then ks sublane-offset row reads inside it
+    for dj in range(ks):
+        slab[:] = halo[:, :, dj : dj + TW]
+        for di in range(ks):
+            patch = slab[:, di : di + TH, :]               # [C, TH, TW]
+            acc = acc + patch * psf_scratch[di * ks + dj][None]
     out_ref[:] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("ks", "interpret"))
+@functools.partial(jax.jit, static_argnames=("ks", "interpret", "compute_dtype"))
 def fused_psf_render(field_cf, img_pad, weights_t, ks: int,
-                     interpret: bool = False):
+                     interpret: bool = False, compute_dtype=jnp.float32):
     """field_cf: [4, H, W] (x, y, z, foc_z channel-first);
     img_pad: [C, H+SUB_PAD-TH, W+LANE_PAD-TW] image, edge-padded by
     (ks-1)//2 and zero-extended to DMA-aligned extents;
-    weights_t: transposed MLP weights.  Returns [C, H, W].
+    weights_t: transposed MLP weights (kernels may be pre-cast to
+    compute_dtype).  Returns [C, H, W].
     """
     _, H, W = field_cf.shape
     C = img_pad.shape[0]
     assert H % TH == 0 and W % TW == 0, (H, W)
     n_layers = len(weights_t)
+    weights_t = tuple((w.astype(compute_dtype), b) for w, b in weights_t)
 
     flat_w, w_specs = [], []
     for wT, bT in weights_t:
@@ -119,12 +130,12 @@ def fused_psf_render(field_cf, img_pad, weights_t, ks: int,
         ]
 
     return pl.pallas_call(
-        functools.partial(_kernel, n_layers, ks, C),
+        functools.partial(_kernel, n_layers, ks, C, compute_dtype),
         grid=(H // TH, W // TW),
         in_specs=[
             pl.BlockSpec((4, TH, TW), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             *w_specs,
         ],
         out_specs=pl.BlockSpec((C, TH, TW), lambda i, j: (0, i, j),
@@ -133,6 +144,7 @@ def fused_psf_render(field_cf, img_pad, weights_t, ks: int,
         scratch_shapes=[
             pltpu.VMEM((C, SUB_PAD, LANE_PAD), jnp.float32),
             pltpu.VMEM((ks * ks, TH, TW), jnp.float32),
+            pltpu.VMEM((C, SUB_PAD, TW), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -146,7 +158,8 @@ def fused_psf_render(field_cf, img_pad, weights_t, ks: int,
 
 
 def fused_render_frame(variables, img, depth, foc_dist, ks: int,
-                       d_min: float, d_max: float, interpret: bool = False):
+                       d_min: float, d_max: float, interpret: bool = False,
+                       compute_dtype=jnp.float32):
     """Full single-frame render [N, C, H, W] via the fused kernel.
 
     Matches `PSFNet.render` semantics (reference psfnet.py:393-441):
@@ -175,5 +188,6 @@ def fused_render_frame(variables, img, depth, foc_dist, ks: int,
             ((0, 0), (0, SUB_PAD - TH - (ks - 1)), (0, LANE_PAD - TW - (ks - 1))),
         )
         outs.append(fused_psf_render(field, img_pad, weights_t, ks,
-                                     interpret=interpret))
+                                     interpret=interpret,
+                                     compute_dtype=compute_dtype))
     return jnp.stack(outs, axis=0)

@@ -120,7 +120,27 @@ def measure_ours(n_calls=8):
     outs = [net.render_stack(imgs[i], depth, fds) for i in range(2, n_calls)]
     jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / (n_calls - 2)
-    return N_STACK / dt
+    fps = N_STACK / dt
+
+    # MFU diagnostics (stderr; stdout stays one JSON line).  The MLP holds
+    # essentially all the FLOPs: per pixel, 2 * sum(kernel sizes) MACs.
+    mlp_macs = sum(
+        int(np.prod(np.asarray(w).shape))
+        for w, _ in __import__(
+            "aadff_tpu.ops.pallas_mlp", fromlist=["flax_mlp_weights"]
+        ).flax_mlp_weights(net.variables)
+    )
+    conv_macs = KS * KS * 3  # per-pixel PSF convolution
+    gflop_per_frame = 2 * (mlp_macs + conv_macs) * H * W / 1e9
+    tflops = gflop_per_frame * fps / 1e3
+    peak = 394.0  # TPU v5e bf16 peak TFLOP/s (scaling-book); MFU vs this
+    print(
+        f"[bench] render_dtype={net.render_dtype} "
+        f"{gflop_per_frame:.1f} GFLOP/frame, {tflops:.1f} TFLOP/s achieved, "
+        f"MFU~{100 * tflops / peak:.1f}% of v5e bf16 peak",
+        file=sys.stderr,
+    )
+    return fps
 
 
 def main():

@@ -22,6 +22,82 @@ def test_pallas_mlp_matches_xla():
     np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, atol=1e-5)
 
 
+def test_pallas_mlp_bf16_accuracy_gate():
+    """The production bf16 MXU path must stay below the surrogate's own model
+    error: per-row L1 distance to the f32 output well under the ~2e-3 L1/px
+    quality gate of the converted reference checkpoint (PARITY.md)."""
+    model = MLP(in_features=4, out_features=121, hidden_features=256,
+                hidden_layers=8)
+    variables = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 4)))
+    weights = flax_mlp_weights(variables)
+    rng = np.random.default_rng(2)
+    field = jnp.asarray(rng.uniform(-1, 1, (2048, 4)).astype(np.float32))
+
+    ref = np.asarray(model.apply(variables, field))
+    out = np.asarray(mlp_psf_pallas(field, weights, 121, interpret=True,
+                                    tile=1024, compute_dtype=jnp.bfloat16))
+    # rows remain valid normalised PSFs
+    np.testing.assert_allclose(out.sum(-1), 1.0, atol=1e-5)
+    l1_per_px = np.abs(out - ref).mean()
+    assert l1_per_px < 5e-4, l1_per_px
+
+
+def test_psfnet_render_bf16_matches_f32():
+    """End-to-end render with the bf16 Pallas path stays within the model's
+    own error band of the f32 XLA path."""
+    from aadff_tpu.psfnet import PSFNet
+
+    net = PSFNet("/root/reference/lenses/rf50mm/lens.json", kernel_size=11,
+                 sensor_res=(64, 64))
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    depth = -rng.uniform(500, 15000, (1, 1, 64, 64)).astype(np.float32)
+    foc = np.asarray([-2400.0], np.float32)
+
+    f32 = np.asarray(net.render(img, depth, foc, use_pallas=False))
+    net.render_dtype = "bf16"
+    bf16 = np.asarray(net.render(img, depth, foc, use_pallas=True))
+    err = np.abs(bf16 - f32).max()
+    assert err < 2e-3, err
+
+
+def test_fused_render_kernel_matches_xla_path():
+    """The fully-fused MLP+conv kernel (ops/pallas_render.py) is exact vs the
+    production path (pallas-MLP via interpret + XLA tap conv) on the same
+    inputs — interpret-mode parity so the DMA/tile choreography can't bit-rot
+    (ADVICE.md r1, low)."""
+    from aadff_tpu.ops.pallas_render import TH, TW, fused_render_frame
+    from aadff_tpu.ops.render import local_psf_render
+
+    ks = 11
+    H, W = 2 * TH, TW  # one tile column, two rows
+    model = MLP(in_features=4, out_features=ks * ks, hidden_features=256,
+                hidden_layers=8)
+    variables = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 4)))
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 3, H, W)).astype(np.float32))
+    depth = jnp.asarray(-rng.uniform(500, 15000, (1, 1, H, W)).astype(np.float32))
+    foc = jnp.asarray([-2400.0], jnp.float32)
+    d_min, d_max = -200.0, -20000.0  # PSFNet's normalisation endpoints
+
+    # reference: XLA field -> MLP -> local_psf_render
+    z = jnp.clip((depth.reshape(1, H, W) - d_min) / (d_max - d_min), 0, 1)
+    x, y = jnp.meshgrid(jnp.linspace(-1, 1, W), jnp.linspace(1, -1, H),
+                        indexing="xy")
+    foc_z = jnp.clip((foc[:, None, None] - d_min) / (d_max - d_min), 0, 1)
+    o = jnp.stack([jnp.broadcast_to(x, (1, H, W)),
+                   jnp.broadcast_to(y, (1, H, W)), z,
+                   jnp.broadcast_to(foc_z, (1, H, W))], axis=-1)
+    psf = model.apply(variables, o.reshape(-1, 4)).reshape(1, H, W, ks, ks)
+    ref = np.asarray(local_psf_render(img, psf, kernel_size=ks))
+
+    out = np.asarray(fused_render_frame(
+        variables, img, depth, foc, ks, d_min, d_max, interpret=True
+    ))
+    np.testing.assert_allclose(out, ref, atol=5e-6)
+
+
 def test_pallas_mlp_handles_ragged_n():
     """N not a multiple of the tile is padded and sliced back."""
     model = MLP(in_features=4, out_features=121, hidden_features=256,
