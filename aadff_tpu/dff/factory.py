@@ -32,6 +32,11 @@ def get_dataset(args):
                                  resize=args["res"])
     elif train_name == "FlyingThings3D":
         train_set = FlyingThings3D(args["FlyingThings3D_train"], resize=args["res"])
+    elif train_name == "SynthMiddlebury":
+        # procedural textures over real Middlebury depth maps
+        # (scripts/make_synth_dataset.py); augmentation on
+        train_set = Middlebury(args["SynthMiddlebury_train"], resize=args["res"],
+                               train=True)
     else:
         raise NotImplementedError(train_name)
 
@@ -42,6 +47,9 @@ def get_dataset(args):
         test_set = Middlebury(args["Middlebury2021_val"], resize=args["res"], train=False)
     elif test_name == "RealWorld":
         test_set = RealWorld(args["RealWorld_val"], resize=args["res"], depth=False)
+    elif test_name == "SynthMiddlebury":
+        test_set = Middlebury(args["SynthMiddlebury_val"], resize=args["res"],
+                              train=False)
     else:
         raise NotImplementedError(test_name)
     return train_set, test_set

@@ -1,0 +1,163 @@
+"""Aberration-aware DFF training on SynthMiddlebury — chunked for the TPU.
+
+The round-1 gap (VERDICT.md #1): the machinery existed but no DFF network had
+ever been trained to a depth-metric result.  This script runs the reference's
+training loop (`2_aber_aware_dff_aif.py:53-244`: render aberrated focal stacks
+through the PSF surrogate in the loop, AiFDepthNet forward/backward, per-epoch
+validation with the full metric suite + best checkpoints) on the synthetic-
+texture Middlebury set built by `make_synth_dataset.py`.
+
+Chunked execution: the tunnelled TPU wedges after ~12-14 min per process, so
+each invocation trains `--epochs-per-chunk` epochs and exits; training state
+(params + opt state + step) warm-starts from the checkpoint.  A persistent
+XLA compilation cache makes the recompiles across chunks cheap.
+
+Artifacts (all under --workdir, committed summaries in RESULTS_DFF.md):
+  state.msgpack / best.msgpack  - full TrainState checkpoints
+  train_log.jsonl               - per-epoch mean loss
+  metrics.jsonl                 - per-epoch validation metric suite
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=os.path.join(REPO, "configs/aber_aware_dff_synth.yml"))
+    ap.add_argument("--workdir", default=os.path.join(REPO, "results/dff_synth"))
+    ap.add_argument("--epochs-per-chunk", type=int, default=3)
+    ap.add_argument("--total-epochs", type=int, default=20)
+    ap.add_argument("--validate-every", type=int, default=1)
+    ap.add_argument("--save-images", action="store_true")
+    args_cli = ap.parse_args()
+
+    from aadff_tpu.dff import NumpyLoader, select_focus_dist
+    from aadff_tpu.dff.factory import get_dataset, get_lens
+    from aadff_tpu.models.aifnet import AiFDepthNet
+    from aadff_tpu.utils.config import load_config
+    from aadff_tpu.utils.logging import set_seed
+    from aadff_tpu.train.trainer import (
+        create_train_state,
+        load_checkpoint,
+        make_aif_eval_step,
+        make_aif_train_step,
+        render_focal_stack,
+        save_checkpoint,
+        validate,
+    )
+
+    os.makedirs(args_cli.workdir, exist_ok=True)
+    args = load_config(args_cli.config)
+    args["results_dir"] = args_cli.workdir
+    set_seed(126)
+
+    progress_path = os.path.join(args_cli.workdir, "progress.json")
+    progress = {"epoch": 0, "mse_min": 1e9, "acc1_max": 0.0}
+    if os.path.exists(progress_path):
+        with open(progress_path) as f:
+            progress = json.load(f)
+    start_epoch = progress["epoch"]
+    if start_epoch >= args_cli.total_epochs:
+        print(f"training complete at epoch {start_epoch}")
+        return
+
+    train_lens, test_lens = get_lens(args)
+    task = {"depth": "D_FS", "aif": "A_FS", "depth_aif": "DA_FS"}[args["pred_name"]]
+    n_stack = args["n_stack"]
+    model = AiFDepthNet(n_stack=n_stack)
+
+    train_set, val_set = get_dataset(args)
+    train_loader = NumpyLoader(train_set, batch_size=args["bs"], shuffle=True,
+                               seed=126 + start_epoch)
+    val_loader = NumpyLoader(val_set, batch_size=1)
+
+    steps_per_epoch = len(train_loader)
+    total_steps = max(args_cli.total_epochs * steps_per_epoch, 1)
+    optimizer = optax.adam(
+        optax.cosine_decay_schedule(float(args["lr"]), decay_steps=total_steps,
+                                    alpha=0.0)
+    )
+    H, W = args["res"]
+    state = create_train_state(
+        model, optimizer, jnp.zeros((1, n_stack, H, W, 3), jnp.float32),
+        jnp.zeros((1, n_stack), jnp.float32), jax.random.PRNGKey(126),
+    )
+    if start_epoch > 0:
+        state = load_checkpoint(args_cli.workdir, state, name="state")
+        print(f"resumed from epoch {start_epoch} (step {int(state.step)})")
+
+    train_step = make_aif_train_step(model, optimizer, task)
+    eval_step = make_aif_eval_step(model)
+
+    end_epoch = min(start_epoch + args_cli.epochs_per_chunk,
+                    args_cli.total_epochs)
+    for epoch in range(start_epoch, end_epoch):
+        t0 = time.time()
+        epoch_loss, n_batches, n_skipped = 0.0, 0, 0
+        for aif, depth in train_loader:
+            mask = depth > 0
+            avg_depth = depth.sum(axis=(1, 2, 3)) / np.maximum(
+                mask.sum(axis=(1, 2, 3)), 1)
+            if np.isnan(avg_depth).any():
+                continue
+            focus_dists = select_focus_dist(depth, n_stack, mode="linear")
+            stack = render_focal_stack(train_lens, aif, depth, focus_dists)
+            state, losses = train_step(
+                state, stack, jnp.asarray(focus_dists, jnp.float32),
+                jnp.asarray(depth), jnp.asarray(aif),
+            )
+            epoch_loss += float(losses["total"])
+            n_skipped += int(losses["skipped_nonfinite"])
+            n_batches += 1
+        mean_loss = epoch_loss / max(n_batches, 1)
+        rec = {"epoch": epoch + 1, "loss": round(mean_loss, 5),
+               "steps": n_batches, "skipped": n_skipped,
+               "sec": round(time.time() - t0, 1)}
+        print("train:", json.dumps(rec))
+        with open(os.path.join(args_cli.workdir, "train_log.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+        save_checkpoint(args_cli.workdir, state, "state")
+        progress["epoch"] = epoch + 1
+
+        if (epoch + 1) % args_cli.validate_every == 0 or epoch + 1 == args_cli.total_epochs:
+            scores = validate(eval_step, state, test_lens, val_loader, n_stack,
+                              epoch + 1, args, save_images=args_cli.save_images)
+            scores = {k: float(v) for k, v in scores.items()}
+            scores["epoch"] = epoch + 1
+            with open(os.path.join(args_cli.workdir, "metrics.jsonl"), "a") as f:
+                f.write(json.dumps(scores) + "\n")
+            print("val:", json.dumps({k: round(v, 4) for k, v in scores.items()}))
+            if scores["mse"] < progress["mse_min"]:
+                progress["mse_min"] = scores["mse"]
+                save_checkpoint(args_cli.workdir, state, "best")
+            if scores["acc1"] > progress["acc1_max"]:
+                progress["acc1_max"] = scores["acc1"]
+                save_checkpoint(args_cli.workdir, state, "best_acc1")
+
+        with open(progress_path, "w") as f:
+            json.dump(progress, f)
+
+    print(f"chunk done: epochs {start_epoch + 1}..{end_epoch} / {args_cli.total_epochs}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,8 +1,10 @@
 """Full benchmark suite (SURVEY.md §7 step 7): focal-stack render throughput,
 ray-traced PSFs/sec, PSFNet fit iters/sec, DFF train step/sec.
 
-Prints a JSON report; `bench.py` at the repo root remains the single-line
-driver contract (render fps only).
+Prints a JSON report AND persists it to BENCH_SUITE.json at the repo root
+(committed artifact, so the README's throughput claims are reproducible);
+`bench.py` at the repo root remains the single-line driver contract
+(render fps only).  Usage: python scripts/benchmark_suite.py [out.json]
 """
 import json
 import os
@@ -90,12 +92,20 @@ def main():
     net.load_net(CKPT)
     report = {
         "device": str(jax.devices()[0]),
+        "date": time.strftime("%Y-%m-%d"),
+        "render_dtype": net.render_dtype,
         "render_frames_per_sec_480x640_ks11": round(bench_render(net), 2),
         "raytraced_psfs_per_sec_spp4096": round(bench_psfs(net), 1),
         "psfnet_fit_iters_per_sec_bs128_spp4096": round(bench_psfnet_fit(net), 2),
         "aifnet_train_steps_per_sec_bs2_s8": round(bench_dff_step(net), 3),
     }
     print(json.dumps(report, indent=2))
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "BENCH_SUITE.json"
+    )
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+        f.write("\n")
 
 
 if __name__ == "__main__":
