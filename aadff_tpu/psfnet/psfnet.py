@@ -443,10 +443,27 @@ class PSFNet:
             d_min, d_max = self.d_min, self.d_max
             compute_dtype = (jnp.bfloat16 if self.render_dtype == "bf16"
                              else jnp.float32)
+            H_res, W_res = self.lens.sensor_res
+            # The fully-fused MLP+conv kernel (ops/pallas_render.py) needs
+            # tile-aligned extents; measured 1.7x the two-stage path on TPU
+            # (4.9 vs 8.3 ms/frame at 480x640, see docs/DESIGN.md).
+            from ..ops.pallas_render import TH as _TH, TW as _TW
+
+            fused_ok = (H_res % _TH == 0) and (W_res % _TW == 0)
+            # interpret mode makes the kernels runnable on the CPU test
+            # mesh; on TPU they compile via Mosaic as usual
+            interpret = jax.default_backend() == "cpu"
 
             @jax.jit
             def render_impl(variables, img, depth, foc_dist):
                 N, C, H, W = img.shape
+                if use_pallas and fused_ok and (H, W) == (H_res, W_res):
+                    from ..ops.pallas_render import fused_render_frame
+
+                    return fused_render_frame(
+                        variables, img, depth, foc_dist,
+                        ks, d_min, d_max, interpret=interpret,
+                    )
                 z = jnp.clip((depth - d_min) / (d_max - d_min), 0.0, 1.0)
                 z = z.reshape(N, H, W)
                 x, y = jnp.meshgrid(
@@ -465,9 +482,7 @@ class PSFNet:
                     psf = mlp_psf_pallas(
                         o.reshape(-1, 4), flax_mlp_weights(variables), ks * ks,
                         compute_dtype=compute_dtype,
-                        # interpret mode makes the kernel runnable on the CPU
-                        # test mesh; on TPU it compiles via Mosaic as usual
-                        interpret=jax.default_backend() == "cpu",
+                        interpret=interpret,
                     )
                 else:
                     psf = model.apply(variables, o.reshape(-1, 4))

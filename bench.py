@@ -133,11 +133,16 @@ def measure_ours(n_calls=8):
     conv_macs = KS * KS * 3  # per-pixel PSF convolution
     gflop_per_frame = 2 * (mlp_macs + conv_macs) * H * W / 1e9
     tflops = gflop_per_frame * fps / 1e3
-    peak = 394.0  # TPU v5e bf16 peak TFLOP/s (scaling-book); MFU vs this
+    peak = 197.0  # TPU v5e bf16 peak TFLOP/s (scaling-book); MFU vs this
+    from aadff_tpu.ops.pallas_render import TH, TW
+
+    path = ("fused-mlp+conv" if (H % TH == 0 and W % TW == 0)
+            else f"pallas-mlp({net.render_dtype})+scan")
     print(
-        f"[bench] render_dtype={net.render_dtype} "
+        f"[bench] path={path} "
         f"{gflop_per_frame:.1f} GFLOP/frame, {tflops:.1f} TFLOP/s achieved, "
-        f"MFU~{100 * tflops / peak:.1f}% of v5e bf16 peak",
+        f"MFU~{100 * tflops / peak:.1f}% of v5e bf16 peak "
+        f"(link latency not subtracted; it varies 1-40 ms/dispatch by session)",
         file=sys.stderr,
     )
     return fps

@@ -98,6 +98,23 @@ def test_fused_render_kernel_matches_xla_path():
     np.testing.assert_allclose(out, ref, atol=5e-6)
 
 
+def test_psfnet_render_uses_fused_kernel_when_aligned():
+    """At tile-aligned sensor resolutions the production pallas render path
+    dispatches the fused MLP+conv kernel; output matches the XLA path."""
+    from aadff_tpu.psfnet import PSFNet
+
+    net = PSFNet("/root/reference/lenses/rf50mm/lens.json", kernel_size=11,
+                 sensor_res=(16, 128))
+    rng = np.random.default_rng(4)
+    img = rng.uniform(0, 1, (2, 3, 16, 128)).astype(np.float32)
+    depth = -rng.uniform(500, 15000, (2, 1, 16, 128)).astype(np.float32)
+    foc = np.asarray([-2400.0, -900.0], np.float32)
+
+    xla = np.asarray(net.render(img, depth, foc, use_pallas=False))
+    fused = np.asarray(net.render(img, depth, foc, use_pallas=True))
+    np.testing.assert_allclose(fused, xla, atol=5e-6)
+
+
 def test_pallas_mlp_handles_ragged_n():
     """N not a multiple of the tile is padded and sliced back."""
     model = MLP(in_features=4, out_features=121, hidden_features=256,
