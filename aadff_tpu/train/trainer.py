@@ -39,7 +39,11 @@ class TrainState:
 
 
 def create_train_state(model, optimizer, sample_stack, sample_fp, rng):
-    variables = model.init(rng, sample_stack, sample_fp, train=True)
+    # jit the init: eager init would compile every conv op separately, which
+    # is pathological through a remote-TPU tunnel (~minutes of op-by-op
+    # compiles); one jitted program compiles once and caches persistently.
+    init_fn = jax.jit(lambda r, s, f: model.init(r, s, f, train=True))
+    variables = init_fn(rng, sample_stack, sample_fp)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
