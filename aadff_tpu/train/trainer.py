@@ -213,8 +213,13 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, name: str = "last"):
     from flax.serialization import to_bytes
 
     os.makedirs(ckpt_dir, exist_ok=True)
-    with open(os.path.join(ckpt_dir, f"depth_net_{name}.msgpack"), "wb") as f:
+    # atomic: a kill mid-write (chunked jobs run under `timeout`) must leave
+    # the previous checkpoint intact, not a truncated msgpack
+    path = os.path.join(ckpt_dir, f"depth_net_{name}.msgpack")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(to_bytes(state))
+    os.replace(tmp, path)
 
 
 def load_checkpoint(ckpt_dir: str, state: TrainState, name: str = "last"):

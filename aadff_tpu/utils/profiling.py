@@ -12,6 +12,21 @@ import time
 from collections import deque
 
 
+def enable_compilation_cache(path: str = "/tmp/jax_cache",
+                             min_compile_secs: int = 5) -> None:
+    """Persistent XLA compilation cache — compiles survive process restarts.
+
+    Essential here: remote-tunnel compiles run 1-2 min each and long jobs must
+    be chunked into fresh processes (see .claude/skills/verify/SKILL.md), so
+    without a persistent cache every chunk would re-pay every compile.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture a device trace viewable in TensorBoard / Perfetto."""

@@ -98,6 +98,9 @@ def measure_ours(n_calls=8):
     import jax.numpy as jnp
 
     from aadff_tpu.psfnet import PSFNet
+    from aadff_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
 
     net = PSFNet(filename=LENS, sensor_res=(H, W), kernel_size=KS)
     net.load_net(OUR_CKPT)

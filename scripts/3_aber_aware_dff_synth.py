@@ -137,6 +137,10 @@ def main():
 
         save_checkpoint(args_cli.workdir, state, "state")
         progress["epoch"] = epoch + 1
+        # persist progress immediately: if the chunk is killed during the
+        # validation below, the completed epoch must not be re-trained
+        with open(progress_path, "w") as f:
+            json.dump(progress, f)
 
         if (epoch + 1) % args_cli.validate_every == 0 or epoch + 1 == args_cli.total_epochs:
             scores = validate(eval_step, state, test_lens, val_loader, n_stack,

@@ -87,6 +87,9 @@ def bench_dff_step(net):
 
 def main():
     from aadff_tpu.psfnet import PSFNet
+    from aadff_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
 
     net = PSFNet(filename=LENS, sensor_res=(H, W), kernel_size=KS)
     net.load_net(CKPT)

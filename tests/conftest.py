@@ -17,6 +17,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent compilation cache: the suite is dominated by 3D-CNN compiles,
+# which are identical across runs (cache keys include platform/device count,
+# so CPU-mesh test entries don't collide with TPU entries).
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import pytest  # noqa: E402
 
 REFERENCE_DIR = "/root/reference"
