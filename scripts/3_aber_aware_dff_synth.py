@@ -47,7 +47,15 @@ def main():
     ap.add_argument("--total-epochs", type=int, default=20)
     ap.add_argument("--validate-every", type=int, default=1)
     ap.add_argument("--save-images", action="store_true")
+    ap.add_argument("--eval-only", default=None, metavar="CKPT_NAME",
+                    help="skip training; validate checkpoint "
+                         "depth_net_<CKPT_NAME>.msgpack and exit")
+    ap.add_argument("--time-budget", type=float, default=600.0,
+                    help="stop cleanly after the first epoch that ends past "
+                         "this many seconds (a SIGTERM kill can wedge the "
+                         "TPU relay; clean exits don't)")
     args_cli = ap.parse_args()
+    t_start = time.time()
 
     from aadff_tpu.dff import NumpyLoader, select_focus_dist
     from aadff_tpu.dff.factory import get_dataset, get_lens
@@ -75,7 +83,7 @@ def main():
         with open(progress_path) as f:
             progress = json.load(f)
     start_epoch = progress["epoch"]
-    if start_epoch >= args_cli.total_epochs:
+    if args_cli.eval_only is None and start_epoch >= args_cli.total_epochs:
         print(f"training complete at epoch {start_epoch}")
         return
 
@@ -106,6 +114,18 @@ def main():
 
     train_step = make_aif_train_step(model, optimizer, task)
     eval_step = make_aif_eval_step(model)
+
+    if args_cli.eval_only is not None:
+        state = load_checkpoint(args_cli.workdir, state, name=args_cli.eval_only)
+        scores = validate(eval_step, state, test_lens, val_loader, n_stack,
+                          start_epoch, args, save_images=True)
+        scores = {k: float(v) for k, v in scores.items()}
+        scores["ckpt"] = args_cli.eval_only
+        with open(os.path.join(args_cli.workdir, "eval_final.json"), "w") as f:
+            json.dump(scores, f, indent=2)
+        print("eval:", json.dumps({k: round(v, 4) if isinstance(v, float) else v
+                                   for k, v in scores.items()}))
+        return
 
     end_epoch = min(start_epoch + args_cli.epochs_per_chunk,
                     args_cli.total_epochs)
@@ -159,6 +179,10 @@ def main():
 
         with open(progress_path, "w") as f:
             json.dump(progress, f)
+
+        if time.time() - t_start > args_cli.time_budget:
+            print(f"time budget reached after epoch {epoch + 1}; exiting cleanly")
+            break
 
     print(f"chunk done: epochs {start_epoch + 1}..{end_epoch} / {args_cli.total_epochs}")
 
