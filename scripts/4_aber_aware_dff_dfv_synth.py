@@ -1,0 +1,163 @@
+"""Aberration-aware DFF training with DFVNet on SynthMiddlebury — chunked.
+
+Companion to `3_aber_aware_dff_synth.py` for the second model family: the
+reference's `2_aber_aware_dff_dfv.py` (with its latent bugs fixed — see
+aadff_tpu/train/dff_dfv.py) trains DFVNet(level=2, use_diff=1) on aberrated
+focal stacks rendered through the PSF surrogate in the loop and validates
+with masked depth metrics.
+
+Chunked execution for the tunnelled TPU (see .claude/skills/verify/SKILL.md):
+each invocation trains `--epochs-per-chunk` epochs, checkpoints, and exits;
+the persistent XLA compilation cache makes later chunks compile-free.
+
+Artifacts under --workdir: depth_net_{state,best}.msgpack, train_log.jsonl,
+metrics.jsonl (summarised in RESULTS_DFF.md).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+
+from aadff_tpu.utils.profiling import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=os.path.join(REPO, "configs/aber_aware_dff_synth.yml"))
+    ap.add_argument("--workdir", default=os.path.join(REPO, "results/dfv_synth"))
+    ap.add_argument("--epochs-per-chunk", type=int, default=6)
+    ap.add_argument("--total-epochs", type=int, default=20)
+    ap.add_argument("--time-budget", type=float, default=600.0,
+                    help="stop cleanly after the first epoch that ends past "
+                         "this many seconds (a SIGTERM kill can wedge the "
+                         "TPU relay; clean exits don't)")
+    args_cli = ap.parse_args()
+    t_start = time.time()
+
+    from aadff_tpu.dff import NumpyLoader, select_focus_dist
+    from aadff_tpu.dff.factory import get_dataset, get_lens
+    from aadff_tpu.models.dfv import DFVNet
+    from aadff_tpu.train.dff_dfv import (
+        make_dfv_eval_step,
+        make_dfv_train_step,
+        validate_dfv,
+    )
+    from aadff_tpu.train.trainer import (
+        create_train_state,
+        load_checkpoint,
+        render_focal_stack,
+        save_checkpoint,
+    )
+    from aadff_tpu.utils.config import load_config
+    from aadff_tpu.utils.logging import set_seed
+
+    os.makedirs(args_cli.workdir, exist_ok=True)
+    args = load_config(args_cli.config)
+    args["results_dir"] = args_cli.workdir
+    set_seed(126)
+
+    progress_path = os.path.join(args_cli.workdir, "progress.json")
+    progress = {"epoch": 0, "mse_min": 1e9}
+    if os.path.exists(progress_path):
+        with open(progress_path) as f:
+            progress = json.load(f)
+    start_epoch = progress["epoch"]
+    if start_epoch >= args_cli.total_epochs:
+        print(f"training complete at epoch {start_epoch}")
+        return
+
+    train_lens, test_lens = get_lens(args)
+    n_stack = args["n_stack"]
+    model = DFVNet(clean=False, level=2, use_diff=1)
+
+    train_set, val_set = get_dataset(args)
+    train_loader = NumpyLoader(train_set, batch_size=args["bs"], shuffle=True,
+                               seed=126 + start_epoch)
+    val_loader = NumpyLoader(val_set, batch_size=1)
+
+    steps_per_epoch = len(train_loader)
+    total_steps = max(args_cli.total_epochs * steps_per_epoch, 1)
+    optimizer = optax.adam(
+        optax.cosine_decay_schedule(float(args["lr"]), decay_steps=total_steps,
+                                    alpha=0.0)
+    )
+    H, W = args["res"]
+    state = create_train_state(
+        model, optimizer, jnp.zeros((1, n_stack, H, W, 3), jnp.float32),
+        jnp.zeros((1, n_stack), jnp.float32), jax.random.PRNGKey(126),
+    )
+    if start_epoch > 0:
+        state = load_checkpoint(args_cli.workdir, state, name="state")
+        print(f"resumed from epoch {start_epoch} (step {int(state.step)})")
+
+    train_step = make_dfv_train_step(model, optimizer)
+    eval_step = make_dfv_eval_step(model)
+
+    end_epoch = min(start_epoch + args_cli.epochs_per_chunk,
+                    args_cli.total_epochs)
+    for epoch in range(start_epoch, end_epoch):
+        t0 = time.time()
+        epoch_loss, n_batches = 0.0, 0
+        for aif, depth in train_loader:
+            if np.isnan(depth).any():
+                continue
+            focus_dists = select_focus_dist(depth, n_stack, mode="linear")
+            stack = render_focal_stack(train_lens, aif, depth, focus_dists)
+            state, loss = train_step(
+                state, stack, jnp.asarray(focus_dists, jnp.float32),
+                jnp.asarray(depth),
+            )
+            epoch_loss += float(loss)
+            n_batches += 1
+        rec = {"epoch": epoch + 1,
+               "loss": round(epoch_loss / max(n_batches, 1), 5),
+               "steps": n_batches, "sec": round(time.time() - t0, 1)}
+        print("train:", json.dumps(rec))
+        with open(os.path.join(args_cli.workdir, "train_log.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+        save_checkpoint(args_cli.workdir, state, "state")
+        progress["epoch"] = epoch + 1
+        # persist progress immediately: a kill during validation must not
+        # cause the completed epoch to be re-trained
+        with open(progress_path, "w") as f:
+            json.dump(progress, f)
+
+        scores = validate_dfv(eval_step, state, test_lens, val_loader,
+                              n_stack, epoch + 1, args)
+        scores = {k: float(v) for k, v in scores.items()}
+        scores["epoch"] = epoch + 1
+        with open(os.path.join(args_cli.workdir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(scores) + "\n")
+        print("val:", json.dumps({k: round(v, 4) for k, v in scores.items()}))
+        if scores["mse"] < progress["mse_min"]:
+            progress["mse_min"] = scores["mse"]
+            save_checkpoint(args_cli.workdir, state, "best")
+
+        with open(progress_path, "w") as f:
+            json.dump(progress, f)
+
+        if time.time() - t_start > args_cli.time_budget:
+            print(f"time budget reached after epoch {epoch + 1}; exiting cleanly")
+            break
+
+    print(f"chunk done: epochs {start_epoch + 1}..{end_epoch} / {args_cli.total_epochs}")
+
+
+if __name__ == "__main__":
+    main()
