@@ -564,6 +564,7 @@ class ThinLens:
         self.sensor_res = sensor_res
         self.ps = self.sensor_size[0] / self.sensor_res[0]
         self._render_jit = None
+        self._stack_jit = None
 
     def coc(self, depth, foc_dist):
         """Circle of confusion in pixels (reference psfnet.py:503-511)."""
@@ -612,3 +613,25 @@ class ThinLens:
 
             self._render_jit = render_impl
         return self._render_jit(img, depth, foc_dist)
+
+    def render_stack(self, img, depth, focus_dists):
+        """Render a whole focal stack in one jitted program (same contract as
+        PSFNet.render_stack): img [B, C, H, W], depth [B, 1, H, W] mm (<0),
+        focus_dists [B, S] mm (<0) -> [B, S, C, H, W].  One dispatch per
+        stack instead of S — the per-frame loop is dominated by link latency
+        on the tunnelled TPU."""
+        img = jnp.asarray(img, jnp.float32)
+        depth = jnp.asarray(depth, jnp.float32)
+        focus_dists = jnp.asarray(focus_dists, jnp.float32)
+        if self._stack_jit is None:
+
+            @jax.jit
+            def stack_impl(img, depth, focus_dists):
+                def one(fd):
+                    return self.render(img, depth, fd)
+
+                stack = jax.lax.map(one, jnp.transpose(focus_dists))
+                return jnp.transpose(stack, (1, 0, 2, 3, 4))
+
+            self._stack_jit = stack_impl
+        return self._stack_jit(img, depth, focus_dists)

@@ -166,6 +166,22 @@ def test_thinlens_render_golden(render_goldens):
     assert np.abs(out - ref).max() < 2e-4, np.abs(out - ref).max()
 
 
+def test_thinlens_render_stack_matches_frame_loop():
+    """ThinLens.render_stack (one jitted program per stack) is exactly the
+    per-frame render loop."""
+    import jax.numpy as jnp
+
+    tl = ThinLens(49.82, 1.87, 11, [25.968, 34.624], (48, 64))
+    rng = np.random.default_rng(11)
+    img = rng.uniform(0, 1, (2, 3, 48, 64)).astype(np.float32)
+    depth = -rng.uniform(500, 15000, (2, 1, 48, 64)).astype(np.float32)
+    fds = -np.sort(rng.uniform(500, 15000, (2, 4))).astype(np.float32)
+    stack = np.asarray(tl.render_stack(img, depth, fds))
+    loop = np.stack([np.asarray(tl.render(img, depth, fds[:, i]))
+                     for i in range(4)], 1)
+    np.testing.assert_array_equal(stack, loop)
+
+
 def test_train_step_nan_guard():
     """Non-finite batches must not poison parameters (in-graph skip)."""
     import jax
