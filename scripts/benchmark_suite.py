@@ -93,9 +93,22 @@ def main():
 
     net = PSFNet(filename=LENS, sensor_res=(H, W), kernel_size=KS)
     net.load_net(CKPT)
+
+    # Dispatch round-trip of the tunnelled platform (observed 1-40 ms by
+    # session) — dominates the small-program numbers below; record it so the
+    # artifact is interpretable across sessions.
+    x = jnp.zeros((8, 128))
+    f = jax.jit(lambda a: a + 1.0)
+    f(x).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(10):
+        f(x).block_until_ready()
+    rtt_ms = (time.perf_counter() - t0) / 10 * 1e3
+
     report = {
         "device": str(jax.devices()[0]),
         "date": time.strftime("%Y-%m-%d"),
+        "link_roundtrip_ms": round(rtt_ms, 2),
         "render_dtype": net.render_dtype,
         "render_frames_per_sec_480x640_ks11": round(bench_render(net), 2),
         "raytraced_psfs_per_sec_spp4096": round(bench_psfs(net), 1),
