@@ -222,14 +222,34 @@ def test_thinlens_render_shapes():
 
 
 def test_psfnet_train_step_decreases_loss():
-    """Jitted train steps actually reduce the MSE: median of the last third
-    of the loss curve is below the median of the first third."""
+    """Jitted train steps actually learn: MSE on a FIXED probe batch (fixed
+    points, fixed ray-traced GT) drops after training.  Comparing medians of
+    the streaming loss curve is invalid — each iteration samples a different
+    focus distance, so successive losses measure different task difficulty,
+    not learning progress (this made the previous version flaky)."""
+    import jax
+    import jax.numpy as jnp
+
     net = PSFNet(LENS_RF50, kernel_size=11, sensor_res=(480, 640))
-    losses = net.train_psfnet(iters=30, bs=32, lr=1e-3, spp=256,
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1, 1, 48)
+    y = rng.uniform(-1, 1, 48)
+    depth = -rng.uniform(500, 15000, 48)
+    z = (depth - net.d_min) / (net.d_max - net.d_min)
+    foc_z = np.full_like(x, 0.4)
+    inp = jnp.asarray(np.stack([x, y, z, foc_z], -1), jnp.float32)
+    points = jnp.asarray(np.stack([x, y, depth], -1), jnp.float32)
+    gt = np.asarray(net.psf(points, spp=256, key=jax.random.PRNGKey(3)))
+    gt = gt.reshape(48, -1)
+
+    def probe_mse():
+        pred = np.asarray(net.model.apply(net.variables, inp))
+        return float(np.mean((pred - gt) ** 2))
+
+    before = probe_mse()
+    losses = net.train_psfnet(iters=40, bs=32, lr=1e-3, spp=256,
                               evaluate_every=1000, result_dir="/tmp/psfnet_test")
-    assert len(losses) > 9
     assert np.isfinite(losses).all()
-    third = len(losses) // 3
-    head = np.median(losses[:third])
-    tail = np.median(losses[-third:])
-    assert tail < head, (head, tail)
+    after = probe_mse()
+    assert after < before, (before, after)
