@@ -46,6 +46,9 @@ def main():
                     help="stop cleanly after the first epoch that ends past "
                          "this many seconds (a SIGTERM kill can wedge the "
                          "TPU relay; clean exits don't)")
+    ap.add_argument("--eval-only", default=None, metavar="CKPT_NAME",
+                    help="skip training; validate checkpoint "
+                         "depth_net_<CKPT_NAME>.msgpack, save depth maps, exit")
     args_cli = ap.parse_args()
     t_start = time.time()
 
@@ -77,7 +80,7 @@ def main():
         with open(progress_path) as f:
             progress = json.load(f)
     start_epoch = progress["epoch"]
-    if start_epoch >= args_cli.total_epochs:
+    if args_cli.eval_only is None and start_epoch >= args_cli.total_epochs:
         print(f"training complete at epoch {start_epoch}")
         return
 
@@ -107,6 +110,36 @@ def main():
 
     train_step = make_dfv_train_step(model, optimizer)
     eval_step = make_dfv_eval_step(model)
+
+    if args_cli.eval_only is not None:
+        from aadff_tpu.dff import metrics as M
+        from aadff_tpu.train.trainer import render_focal_stack as _rfs
+        from aadff_tpu.utils.image import imwrite_colormap
+
+        state = load_checkpoint(args_cli.workdir, state, name=args_cli.eval_only)
+        img_dir = os.path.join(args_cli.workdir, "results")
+        os.makedirs(img_dir, exist_ok=True)
+        scores, n_val = {"abs_rel": 0.0, "mse": 0.0, "rmse": 0.0, "acc1": 0.0}, 0
+        for idx, (aif, gt_depth) in enumerate(val_loader):
+            fds = select_focus_dist(gt_depth, n_stack, mode="linear")
+            stack = _rfs(test_lens, aif, gt_depth, fds)
+            pred, std, prob = eval_step(state, stack, jnp.asarray(fds, jnp.float32))
+            pd = np.squeeze(np.asarray(pred))
+            gt, tm = np.squeeze(gt_depth), np.squeeze(gt_depth > 0)
+            scores["abs_rel"] += M.mask_abs_rel(pd, gt, tm)
+            scores["mse"] += M.mask_mse(pd, gt, tm)
+            scores["rmse"] += M.mask_rmse(pd, gt, tm)
+            scores["acc1"] += M.mask_accuracy_k(pd, gt, 1, tm)
+            n_val += 1
+            imwrite_colormap(f"{img_dir}/img{idx}_pred.png", pd, vmax=gt.max())
+            imwrite_colormap(f"{img_dir}/img{idx}_gt.png", gt)
+        scores = {k: float(v / max(n_val, 1)) for k, v in scores.items()}
+        scores["ckpt"] = args_cli.eval_only
+        with open(os.path.join(args_cli.workdir, "eval_final.json"), "w") as f:
+            json.dump(scores, f, indent=2)
+        print("eval:", json.dumps({k: round(v, 4) if isinstance(v, float) else v
+                                   for k, v in scores.items()}))
+        return
 
     end_epoch = min(start_epoch + args_cli.epochs_per_chunk,
                     args_cli.total_epochs)
