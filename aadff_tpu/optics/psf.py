@@ -190,7 +190,11 @@ def _psf_impl(params, metas, points, key, ks, spp, wvln, center, lens_range,
         )
 
     psf = forward_integral(ray, ps=pixel_size, ks=ks, pointc_ref=pointc)
-    psf = psf / jnp.sum(psf, axis=(-1, -2), keepdims=True)
+    # Guarded normalization: at extreme points (e.g. depth at the -200 mm
+    # near bound) every ray can miss the ks-window or the aperture, making
+    # the sum 0 — the reference's bare divide (optics.py:978) returns NaN
+    # there; an all-zero kernel is the sane in-graph answer.
+    psf = psf / jnp.maximum(jnp.sum(psf, axis=(-1, -2), keepdims=True), EPSILON)
     return psf
 
 

@@ -52,11 +52,44 @@ def bench_psfs(net, spp=4096, n_points=128, n_calls=6):
     return n_points * (n_calls - 2) / (time.perf_counter() - t0)
 
 
-def bench_psfnet_fit(net, iters=100):
+def bench_psfnet_fit(net, n_chunks=4, K=25, bs=128, spp=4096):
+    """Steady-state fit throughput: time dispatches of the production
+    K-iteration scan program (what a long `train_psfnet` run executes),
+    compile excluded."""
+    import optax
+
+    optimizer = optax.adamw(
+        optax.cosine_decay_schedule(1e-4, decay_steps=100_000, alpha=0.0)
+    )
+    opt_state = optimizer.init(net.variables)
+    scan_step = net._build_train_scan(bs, spp, optimizer)
+    per_focus = []
+    for foc_z, foc_d in zip(net.foc_z_arr, net.foc_d_arr):
+        net.lens.refocus(float(foc_d))
+        per_focus.append(net._lens_scalars())
+    stacked = tuple(jnp.stack([s[j] for s in per_focus])
+                    for j in range(len(per_focus[0])))
+    foc_z_arr = np.asarray(net.foc_z_arr, np.float32)
+    rng = np.random.default_rng(3)
+    active = jnp.ones(K, bool)
+
+    def dispatch(variables, opt_state, seed):
+        idx = rng.integers(0, len(foc_z_arr), size=K)
+        keys = jax.random.split(jax.random.PRNGKey(seed), K)
+        return scan_step(variables, opt_state, keys,
+                         jnp.asarray(foc_z_arr[idx]), jnp.asarray(idx),
+                         active, net.lens.params, stacked)
+
+    # fresh copy: scan_step donates its input buffers, and net.variables
+    # must stay valid for the other benchmarks
+    variables = jax.tree.map(jnp.array, net.variables)
+    variables, opt_state, losses = dispatch(variables, opt_state, 0)
+    jax.block_until_ready(losses)  # compile + warm-up
     t0 = time.perf_counter()
-    net.train_psfnet(iters=iters, bs=128, lr=1e-4, spp=4096,
-                     evaluate_every=10**9, result_dir="/tmp/bench_fit")
-    return iters / (time.perf_counter() - t0)
+    for s in range(1, n_chunks + 1):
+        variables, opt_state, losses = dispatch(variables, opt_state, s)
+    jax.block_until_ready(losses)
+    return n_chunks * K / (time.perf_counter() - t0)
 
 
 def bench_dff_step(net):
