@@ -111,8 +111,13 @@ class PSFNet:
     def save_net(self, net_path):
         from flax.serialization import to_bytes
 
-        with open(net_path, "wb") as f:
+        # atomic (tmp + replace): long fits save every eval interval under a
+        # chunk/timeout regime — a SIGTERM mid-write must not truncate the
+        # only checkpoint (same policy as trainer.save_checkpoint)
+        tmp = net_path + ".tmp"
+        with open(tmp, "wb") as f:
             f.write(to_bytes(self.variables))
+        os.replace(tmp, net_path)
 
     # ------------------------------------------------------------------
     # Depth normalisation  (reference psfnet.py:447-454)
@@ -532,6 +537,7 @@ class PSFNet:
                     return fused_render_frame(
                         variables, img, depth, foc_dist,
                         ks, d_min, d_max, interpret=interpret,
+                        compute_dtype=compute_dtype,
                     )
                 z = jnp.clip((depth - d_min) / (d_max - d_min), 0.0, 1.0)
                 z = z.reshape(N, H, W)

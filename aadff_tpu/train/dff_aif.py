@@ -59,7 +59,11 @@ def train(args):
         f"Totally {len(train_set)} images for training, {len(val_set)} for test."
     )
 
-    steps = max(args["epochs"] * len(train_set), 1)
+    # decay over optimizer STEPS (batches), not images — the reference's
+    # cosine runs over len(train_loader) steps per epoch
+    # (2_aber_aware_dff_aif.py:79-80); with bs=2 the image count would make
+    # the schedule decay 2x too slowly
+    steps = max(args["epochs"] * len(train_loader), 1)
     optimizer = optax.adam(
         optax.cosine_decay_schedule(float(args["lr"]), decay_steps=steps, alpha=0.0)
     )

@@ -25,7 +25,8 @@ from ..models.dfv import DFVNet, dfv_loss
 from ..parallel.mesh import make_mesh, replicate, shard_batch
 from ..utils.config import load_config
 from ..utils.logging import set_logger, set_seed
-from .trainer import TrainState, create_train_state, render_focal_stack, save_checkpoint
+from .trainer import (TrainState, create_train_state, guard_nonfinite,
+                      render_focal_stack, save_checkpoint)
 
 
 def config(path="configs/aber_aware_dff_dfv.yml"):
@@ -54,6 +55,12 @@ def make_dfv_train_step(model: DFVNet, optimizer):
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        # Same in-graph non-finite guard as the AiF step (trainer.py): one
+        # NaN batch must leave params, opt_state, and BN stats untouched.
+        ok = jnp.isfinite(loss) & jnp.isfinite(optax.global_norm(grads))
+        params = guard_nonfinite(ok, params, state.params)
+        opt_state = guard_nonfinite(ok, opt_state, state.opt_state)
+        new_bs = guard_nonfinite(ok, new_bs, state.batch_stats)
         return TrainState(params=params, batch_stats=new_bs,
                           opt_state=opt_state, step=state.step + 1), loss
 
@@ -103,7 +110,9 @@ def train(args):
     train_loader = NumpyLoader(train_set, batch_size=args["bs"], shuffle=True)
     val_loader = NumpyLoader(val_set, batch_size=1)
 
-    steps = max(args["epochs"] * len(train_set), 1)
+    # decay over optimizer STEPS, not images (see dff_aif.py — reference
+    # cosine runs over len(train_loader) steps per epoch)
+    steps = max(args["epochs"] * len(train_loader), 1)
     optimizer = optax.adam(
         optax.cosine_decay_schedule(float(args["lr"]), decay_steps=steps, alpha=0.0)
     )

@@ -54,6 +54,17 @@ def create_train_state(model, optimizer, sample_stack, sample_fp, rng):
     )
 
 
+def guard_nonfinite(ok, new_tree, old_tree):
+    """In-graph failure detection: keep `new_tree` only when `ok` (scalar
+    bool).  Non-array leaves (e.g. schedule callables inside opt_state) pass
+    through unchanged.  Shared by the AiF and DFV train steps so one NaN
+    batch can never poison params, optimizer state, or BN running stats."""
+    return jax.tree.map(
+        lambda new, old: jnp.where(ok, new, old) if hasattr(new, "shape")
+        else new, new_tree, old_tree,
+    )
+
+
 def make_aif_train_step(model: AiFDepthNet, optimizer, task: str,
                         disp_w=1.0, aif_w=0.0, smooth_w=0.0):
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -82,18 +93,11 @@ def make_aif_train_step(model: AiFDepthNet, optimizer, task: str,
         # here the guard is in-graph so the jitted step never poisons params)
         gnorm = optax.global_norm(grads)
         ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
-        params = jax.tree.map(
-            lambda new, old: jnp.where(ok, new, old), params, state.params
-        )
-        opt_state = jax.tree.map(
-            lambda new, old: jnp.where(ok, new, old) if hasattr(new, "shape")
-            else new, opt_state, state.opt_state,
-        )
+        params = guard_nonfinite(ok, params, state.params)
+        opt_state = guard_nonfinite(ok, opt_state, state.opt_state)
         # batch_stats too: a poisoned forward pass would otherwise bake NaNs
         # into BN running stats (momentum average with NaN stays NaN forever).
-        new_bs = jax.tree.map(
-            lambda new, old: jnp.where(ok, new, old), new_bs, state.batch_stats
-        )
+        new_bs = guard_nonfinite(ok, new_bs, state.batch_stats)
         losses["skipped_nonfinite"] = (~ok).astype(jnp.float32)
 
         new_state = TrainState(

@@ -43,6 +43,14 @@ def batch_LPIPS(img, img_clean):
             "LPIPS requires the `lpips` package (pretrained AlexNet/VGG "
             "weights), which is not available in this environment."
         ) from e
+    # A bare ModuleType stub (installed e.g. by tests that import the torch
+    # reference with its heavy deps faked) has no __file__; treat it the same
+    # as an absent package so the gate is independent of import order.
+    if getattr(lpips, "__file__", None) is None:
+        raise RuntimeError(
+            "LPIPS requires the `lpips` package (pretrained AlexNet/VGG "
+            "weights); only a stub module is installed in this environment."
+        )
     import torch
 
     loss_fn = lpips.LPIPS(net="alex")

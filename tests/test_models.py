@@ -180,6 +180,73 @@ def test_data_parallel_equivalence(aif_setup):
     assert abs(float(losses1["total"]) - float(losses8["total"])) < 1e-4
 
 
+def test_dfv_data_parallel_equivalence():
+    """Same DFV train-step loss on a 1-device and an 8-device mesh (the
+    second model family exercised on the mesh like AiF's, reference
+    2_aber_aware_dff_dfv.py:62)."""
+    import optax
+
+    from aadff_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from aadff_tpu.train.dff_dfv import make_dfv_train_step
+    from aadff_tpu.train.trainer import create_train_state
+
+    model = DFVNet(clean=False, level=2, use_diff=1)
+    B = 8
+    rng = np.random.default_rng(5)
+    stack = rng.uniform(0, 1, (B, 4, 64, 64, 3)).astype(np.float32)
+    fp = np.broadcast_to(np.linspace(0.5, 3.0, 4, dtype=np.float32), (B, 4)).copy()
+    depth = np.full((B, 1, 64, 64), 1.7, np.float32)
+
+    optimizer = optax.adam(1e-3)
+    state0 = create_train_state(model, optimizer, jnp.asarray(stack[:1]),
+                                jnp.asarray(fp[:1]), jax.random.PRNGKey(4))
+    step = make_dfv_train_step(model, optimizer)
+
+    s1, loss1 = step(state0, jnp.asarray(stack), jnp.asarray(fp),
+                     jnp.asarray(depth))
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+    state8 = replicate(mesh, create_train_state(
+        model, optimizer, jnp.asarray(stack[:1]), jnp.asarray(fp[:1]),
+        jax.random.PRNGKey(4)))
+    batch = shard_batch(mesh, dict(stack=stack, fp=fp, depth=depth))
+    s8, loss8 = step(state8, batch["stack"], batch["fp"], batch["depth"])
+    assert abs(float(loss1) - float(loss8)) < 1e-4
+
+
+def test_dfv_train_step_nan_guard():
+    """One NaN batch must leave DFV params, opt state, and BN running stats
+    intact (same in-graph guard as the AiF step)."""
+    import optax
+
+    from aadff_tpu.train.dff_dfv import make_dfv_train_step
+    from aadff_tpu.train.trainer import create_train_state
+
+    model = DFVNet(clean=False, level=2, use_diff=1)
+    stack = jnp.ones((1, 4, 64, 64, 3))
+    fp = jnp.linspace(0.5, 3.0, 4)[None]
+    optimizer = optax.adam(1e-3)
+    state = create_train_state(model, optimizer, stack, fp, jax.random.PRNGKey(6))
+    step = make_dfv_train_step(model, optimizer)
+    depth = jnp.full((1, 1, 64, 64), 1.7)
+
+    before = jax.tree.map(lambda x: np.asarray(x).copy(),
+                          (state.params, state.batch_stats))
+    bad_stack = jnp.full_like(stack, jnp.nan)
+    state, loss = step(state, bad_stack, fp, depth)
+    assert not np.isfinite(float(loss))
+    after = (state.params, state.batch_stats)
+    for b, a in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(b, np.asarray(a))
+    # and a sane batch afterwards still updates
+    state2, loss2 = step(state, stack, fp, depth)
+    assert np.isfinite(float(loss2))
+    assert any(
+        not np.array_equal(b, np.asarray(a))
+        for b, a in zip(jax.tree.leaves(before), jax.tree.leaves(state2.params))
+    )
+
+
 def test_graft_entry_and_dryrun():
     import __graft_entry__ as ge
 

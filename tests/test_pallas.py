@@ -100,11 +100,13 @@ def test_fused_render_kernel_matches_xla_path():
 
 def test_psfnet_render_uses_fused_kernel_when_aligned():
     """At tile-aligned sensor resolutions the production pallas render path
-    dispatches the fused MLP+conv kernel; output matches the XLA path."""
+    dispatches the fused MLP+conv kernel.  render_dtype='f32' matches the XLA
+    path exactly; the production default 'bf16' (now wired through to the
+    fused kernel's MXU matmuls) stays inside the surrogate's own error band."""
     from aadff_tpu.psfnet import PSFNet
 
     net = PSFNet("/root/reference/lenses/rf50mm/lens.json", kernel_size=11,
-                 sensor_res=(16, 128))
+                 sensor_res=(16, 128), render_dtype="f32")
     rng = np.random.default_rng(4)
     img = rng.uniform(0, 1, (2, 3, 16, 128)).astype(np.float32)
     depth = -rng.uniform(500, 15000, (2, 1, 16, 128)).astype(np.float32)
@@ -113,6 +115,11 @@ def test_psfnet_render_uses_fused_kernel_when_aligned():
     xla = np.asarray(net.render(img, depth, foc, use_pallas=False))
     fused = np.asarray(net.render(img, depth, foc, use_pallas=True))
     np.testing.assert_allclose(fused, xla, atol=5e-6)
+
+    net.render_dtype = "bf16"
+    fused_bf16 = np.asarray(net.render(img, depth, foc, use_pallas=True))
+    err = np.abs(fused_bf16 - xla).max()
+    assert 0 < err < 2e-3, err  # ran in bf16, inside the accuracy gate
 
 
 def test_pallas_mlp_handles_ragged_n():

@@ -179,7 +179,10 @@ def test_thinlens_render_stack_matches_frame_loop():
     stack = np.asarray(tl.render_stack(img, depth, fds))
     loop = np.stack([np.asarray(tl.render(img, depth, fds[:, i]))
                      for i in range(4)], 1)
-    np.testing.assert_array_equal(stack, loop)
+    # tolerance, not bitwise: the two sides are separately compiled XLA
+    # programs (render inlined under lax.map vs standalone jit) and XLA does
+    # not guarantee identical fusion/numerics across program contexts
+    np.testing.assert_allclose(stack, loop, rtol=0, atol=1e-6)
 
 
 def test_train_step_nan_guard():
@@ -237,7 +240,13 @@ def test_psfnet_train_step_decreases_loss():
     y = rng.uniform(-1, 1, 48)
     depth = -rng.uniform(500, 15000, 48)
     z = (depth - net.d_min) / (net.d_max - net.d_min)
-    foc_z = np.full_like(x, 0.4)
+    # Probe at one of the training focus distances, with the lens actually
+    # refocused there — otherwise the foc_z input feature would label a lens
+    # state different from the one the GT PSFs are traced at, and the probe's
+    # MSE floor would measure that mismatch instead of fit quality.
+    foc_idx = 10  # -2500 mm
+    foc_z = np.full_like(x, net.foc_z_arr[foc_idx])
+    net.lens.refocus(float(net.foc_d_arr[foc_idx]))
     inp = jnp.asarray(np.stack([x, y, z, foc_z], -1), jnp.float32)
     points = jnp.asarray(np.stack([x, y, depth], -1), jnp.float32)
     gt = np.asarray(net.psf(points, spp=256, key=jax.random.PRNGKey(3)))
