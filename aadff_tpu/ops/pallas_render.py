@@ -30,12 +30,15 @@ staged through an aligned scratch buffer, and the ks row shifts inside it are
 sublane-offset reads (cheap).  Lane rotations drop ks-fold (121 -> 11).
 
 Round-3: tile shape (th, tw) is a parameter so the per-matmul pixel batch
-can be widened beyond 1024 (VERDICT r2 weak #6: fewer grid steps amortise
-the per-step fixed work — sigmoid/normalise VPU ops, DMA waits, grid
-bookkeeping — over more MXU FLOPs), and `compute_dtype=bf16` runs the
-production MXU matmuls at double throughput (wired through PSFNet's
-`render_dtype`).  Measured on v5e at 480x640 (docs/DESIGN.md §4): the
-(16, 256) bf16 config is the production default.
+can be widened beyond 1024 (fewer grid steps amortise the per-step fixed
+work — sigmoid/normalise VPU ops, DMA waits, grid bookkeeping — over more
+MXU FLOPs).  Measured on v5e at 480x640 (docs/kernel_sweep.jsonl, dispatch-
+overhead-free slope method): (32, 128) f32 = 1.91 ms/frame = ~94% of the
+MXU's bf16 speed-of-light for the MLP chain (XLA Precision.DEFAULT already
+runs f32 matmuls as single-pass bf16, so an explicit `compute_dtype=bf16`
+only adds VPU cast work).  Decomposition: MLP 1.65 ms + conv/DMA 0.26 ms,
+additive; interleaving two half-batch chains (`pipe=True`) is a measured
+negative result (2.09 ms).  See docs/DESIGN.md §4.
 """
 from __future__ import annotations
 
@@ -47,8 +50,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Production tile shape (pixels per grid step = TH * TW).
-TH, TW = 8, 128
+# Production tile shape (pixels per grid step = TH * TW).  The r3 sweep
+# (docs/kernel_sweep.jsonl, slope method) measured 2.54 / 2.2 / 1.91
+# ms/frame at th = 8 / 16 / 32 (480x640, ks=11): bigger pixel batches
+# amortise the per-step fixed work.  PSFNet auto-picks the largest of
+# 32/16/8 dividing the sensor height.
+TH, TW = 32, 128
 
 
 def _round_up(x: int, m: int) -> int:
@@ -72,7 +79,16 @@ def transpose_weights(weights, compute_dtype=jnp.float32):
 
 
 def _kernel(n_layers: int, ks: int, C: int, compute_dtype, th: int, tw: int,
-            sub_pad: int, *refs):
+            sub_pad: int, mode: str, pipe: bool, interpret: bool, *refs):
+    """mode/pipe are DIAGNOSTIC knobs for scripts/bench_fused_kernel.py
+    (production is mode='full', pipe=False):
+      mode='mlponly'  — skip halo DMA + tap conv (isolates MLP time)
+      mode='convonly' — replace the MLP with a cheap broadcast (isolates
+                        DMA + sigmoid-free tap-conv time)
+      pipe=True       — run the MLP as two interleaved half-pixel-batch
+                        chains, giving Mosaic independent matmuls to overlap
+                        VPU work (casts/relu) of one chain with MXU time of
+                        the other (VERDICT r2 #1b pipelining experiment)."""
     field_ref = refs[0]          # [4, th, tw] VMEM
     img_ref = refs[1]            # [C, H+sub_pad-th, W+lane_pad-tw] HBM/ANY
     w_refs = refs[2 : 2 + 2 * n_layers]
@@ -85,28 +101,53 @@ def _kernel(n_layers: int, ks: int, C: int, compute_dtype, th: int, tw: int,
     i = pl.program_id(0)
     j = pl.program_id(1)
 
-    # Start the halo DMA; it overlaps with the MLP below.
-    # halo scratch is padded to tile-aligned (sub_pad, lane_pad); only the
-    # leading (th+ks-1, tw+ks-1) region is ever read
-    lane_pad = halo.shape[-1]
-    dma = pltpu.make_async_copy(
-        img_ref.at[:, pl.ds(i * th, sub_pad), pl.ds(j * tw, lane_pad)],
-        halo,
-        sem,
-    )
-    dma.start()
+    if mode != "mlponly":
+        # Start the halo DMA; it overlaps with the MLP below.
+        # halo scratch is padded to tile-aligned (sub_pad, lane_pad); only the
+        # leading (th+ks-1, tw+ks-1) region is ever read
+        lane_pad = halo.shape[-1]
+        dma = pltpu.make_async_copy(
+            img_ref.at[:, pl.ds(i * th, sub_pad), pl.ds(j * tw, lane_pad)],
+            halo,
+            sem,
+        )
+        dma.start()
+
+    def mlp_chain(h):
+        for li in range(n_layers):
+            wT = w_refs[2 * li][:]
+            bT = w_refs[2 * li + 1][:]
+            hc = h.astype(compute_dtype)
+            if interpret and compute_dtype != jnp.float32:
+                # CPU interpret mode can't execute bf16xbf16->f32 dots;
+                # rounding inputs to bf16 then multiplying in f32 is the
+                # same arithmetic the MXU's single bf16 pass performs
+                wT, hc = wT.astype(jnp.float32), hc.astype(jnp.float32)
+            h = jnp.dot(wT, hc, preferred_element_type=jnp.float32) + bT
+            if li < n_layers - 1:
+                h = jnp.maximum(h, 0.0)
+        return h
 
     # Feature-major MLP: h [feat, pix]
-    h = field_ref[:].reshape(4, th * tw)
-    for li in range(n_layers):
-        wT = w_refs[2 * li][:]
-        bT = w_refs[2 * li + 1][:]
-        h = jnp.dot(wT, h.astype(compute_dtype),
-                    preferred_element_type=jnp.float32) + bT
-        if li < n_layers - 1:
-            h = jnp.maximum(h, 0.0)
-    p = jax.nn.sigmoid(h)                          # [ks*ks, th*tw]
-    p = p / (jnp.sum(jnp.abs(p), axis=0, keepdims=True) + 1e-12)
+    h0 = field_ref[:].reshape(4, th * tw)
+    if mode == "convonly":
+        # no MLP, no sigmoid: p is a cheap field-dependent broadcast
+        p = jnp.broadcast_to(h0[2:3] * 0.01, (ks * ks, th * tw))
+    else:
+        if pipe:
+            half = (th * tw) // 2
+            h = jnp.concatenate(
+                [mlp_chain(h0[:, :half]), mlp_chain(h0[:, half:])], axis=1
+            )
+        else:
+            h = mlp_chain(h0)
+        p = jax.nn.sigmoid(h)                          # [ks*ks, th*tw]
+        p = p / (jnp.sum(jnp.abs(p), axis=0, keepdims=True) + 1e-12)
+
+    if mode == "mlponly":
+        out_ref[:] = p.reshape(ks * ks, th, tw)[:C]
+        return
+
     # stage tap-major PSF tiles in scratch so the tap loop can dynamically
     # index a *ref* (dynamic_slice on values is not lowerable on TPU)
     psf_scratch[:] = p.reshape(ks * ks, th, tw)
@@ -125,10 +166,11 @@ def _kernel(n_layers: int, ks: int, C: int, compute_dtype, th: int, tw: int,
 
 
 @functools.partial(jax.jit, static_argnames=("ks", "interpret", "compute_dtype",
-                                             "th", "tw"))
+                                             "th", "tw", "mode", "pipe"))
 def fused_psf_render(field_cf, img_pad, weights_t, ks: int,
                      interpret: bool = False, compute_dtype=jnp.float32,
-                     th: int = TH, tw: int = TW):
+                     th: int = TH, tw: int = TW, mode: str = "full",
+                     pipe: bool = False):
     """field_cf: [4, H, W] (x, y, z, foc_z channel-first);
     img_pad: [C, H+sub_pad-th, W+lane_pad-tw] image, edge-padded by
     (ks-1)//2 and zero-extended to DMA-aligned extents (see `halo_pads`);
@@ -152,7 +194,7 @@ def fused_psf_render(field_cf, img_pad, weights_t, ks: int,
 
     return pl.pallas_call(
         functools.partial(_kernel, n_layers, ks, C, compute_dtype, th, tw,
-                          sub_pad),
+                          sub_pad, mode, pipe, interpret),
         grid=(H // th, W // tw),
         in_specs=[
             pl.BlockSpec((4, th, tw), lambda i, j: (0, i, j),
@@ -181,7 +223,8 @@ def fused_psf_render(field_cf, img_pad, weights_t, ks: int,
 
 def fused_render_frame(variables, img, depth, foc_dist, ks: int,
                        d_min: float, d_max: float, interpret: bool = False,
-                       compute_dtype=jnp.float32, th: int = TH, tw: int = TW):
+                       compute_dtype=jnp.float32, th: int = TH, tw: int = TW,
+                       mode: str = "full", pipe: bool = False):
     """Full single-frame render [N, C, H, W] via the fused kernel.
 
     Matches `PSFNet.render` semantics (reference psfnet.py:393-441):
@@ -213,5 +256,5 @@ def fused_render_frame(variables, img, depth, foc_dist, ks: int,
         outs.append(fused_psf_render(field, img_pad, weights_t, ks,
                                      interpret=interpret,
                                      compute_dtype=compute_dtype,
-                                     th=th, tw=tw))
+                                     th=th, tw=tw, mode=mode, pipe=pipe))
     return jnp.stack(outs, axis=0)

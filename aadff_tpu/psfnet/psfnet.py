@@ -38,16 +38,20 @@ class PSFNet:
     """Lens + implicit PSF representation (reference psfnet.py:14-481)."""
 
     def __init__(self, filename, model_name="mlp", kernel_size=11,
-                 sensor_res=(512, 512), seed=0, render_dtype="bf16"):
+                 sensor_res=(512, 512), seed=0, render_dtype="f32"):
         self.lens = Lens(filename, sensor_res=sensor_res, seed=seed)
         self.in_features = 4
         self.kernel_size = kernel_size
         self.model_name = model_name
-        # MXU compute dtype of the production (Pallas) render path.  bf16
-        # single-pass matmuls with f32 accumulation are ~2x the f32 path and
-        # the output error (~1e-3 relative) is below the surrogate's own model
-        # error vs ray tracing (gated by tests/test_pallas.py); 'f32' forces
-        # full-precision matmuls.
+        # Activation storage dtype of the production (Pallas) render path.
+        # On TPU the MXU matmuls run single-pass bf16 either way (XLA
+        # Precision.DEFAULT lowers f32 matmuls to bf16 passes — measured rel
+        # err 2.4e-3 == an explicit bf16 cast, docs/DESIGN.md §4), so 'f32'
+        # (the default) is the fast path: same MXU throughput, no per-layer
+        # VPU cast (1.91 vs 1.99 ms/frame measured).  'bf16' casts
+        # activations/weights explicitly, halving their VMEM footprint.
+        # Output error of either (~1e-3 relative) is below the surrogate's
+        # own model error vs ray tracing (gated by tests/test_pallas.py).
         assert render_dtype in ("bf16", "f32")
         self.render_dtype = render_dtype
 
@@ -519,11 +523,15 @@ class PSFNet:
                              else jnp.float32)
             H_res, W_res = self.lens.sensor_res
             # The fully-fused MLP+conv kernel (ops/pallas_render.py) needs
-            # tile-aligned extents; measured 1.7x the two-stage path on TPU
-            # (4.9 vs 8.3 ms/frame at 480x640, see docs/DESIGN.md).
-            from ..ops.pallas_render import TH as _TH, TW as _TW
+            # tile-aligned extents; ~1.9x the two-stage path on TPU
+            # (4.36 vs 8.3 ms/frame at 480x640, docs/DESIGN.md §4).  Tile
+            # height: largest of 32/16/8 dividing H (the r3 sweep measured
+            # monotone gains up to 32 — fewer grid steps amortise the
+            # per-step fixed VPU work).
+            from ..ops.pallas_render import TW as _TW
 
-            fused_ok = (H_res % _TH == 0) and (W_res % _TW == 0)
+            _th = next((t for t in (32, 16, 8) if H_res % t == 0), None)
+            fused_ok = (_th is not None) and (W_res % _TW == 0)
             # interpret mode makes the kernels runnable on the CPU test
             # mesh; on TPU they compile via Mosaic as usual
             interpret = jax.default_backend() == "cpu"
@@ -537,7 +545,7 @@ class PSFNet:
                     return fused_render_frame(
                         variables, img, depth, foc_dist,
                         ks, d_min, d_max, interpret=interpret,
-                        compute_dtype=compute_dtype,
+                        compute_dtype=compute_dtype, th=_th,
                     )
                 z = jnp.clip((depth - d_min) / (d_max - d_min), 0.0, 1.0)
                 z = z.reshape(N, H, W)

@@ -1,17 +1,19 @@
 """A/B the fused-render kernel configs on the real TPU (VERDICT r2 #1b).
 
 Times the production frame render (480x640, ks=11) for each (path, dtype,
-tile) config with the per-dispatch link round trip subtracted: one jitted
-program renders K frames (lax.map), so
+tile) config by the two-point SLOPE between a K2-frame and a K1-frame
+program (both `lax.map` over frames):
 
-    device_ms_per_frame ~= (T_dispatch - RTT) / K
+    device_ms_per_frame = (T(K2) - T(K1)) / (K2 - K1)
 
-with RTT measured on a tiny no-op program.  K=24 makes the RTT correction
-<25% of the measurement even on a 30 ms link, and the remaining RTT
-*variance* (+-few ms) <1%.
+which cancels every fixed per-dispatch cost exactly.  (The earlier
+subtract-RTT variant under-corrected: the fixed cost per dispatch is ~70 ms
+on this link — RTT plus host->device input upload plus per-dispatch weight
+prep — not just the ~30 ms RTT; see docs/kernel_sweep.jsonl `method` field.)
 
 Usage: python scripts/bench_fused_kernel.py [config ...]
-  config: fused-f32-8x128 | fused-bf16-16x256 | twostage-bf16 | ... ;
+  config: fused-f32-8x128 | fused-bf16-32x128 | mlponly-bf16-32x128 |
+  convonly-f32-32x128 | fusedpipe-bf16-32x128 | twostage-bf16 | ... ;
   no args = the full default sweep.  Results append to
   docs/kernel_sweep.jsonl (one JSON line per config, with RTT context).
 """
@@ -30,11 +32,12 @@ REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 LENS = os.path.join(REPO, "lenses/rf50mm.json")
 CKPT = os.path.join(REPO, "ckpt/rf50mm/psfnet_480x640_ks11.msgpack")
 H, W, KS = 480, 640, 11
-K_FRAMES = 24
+K1, K2 = 8, 24
+# W=640 = 5*128 fixes tw=128; the pixel-batch widening axis is th.
 DEFAULT_SWEEP = [
     "fused-f32-8x128", "fused-bf16-8x128",
-    "fused-f32-16x256", "fused-bf16-16x256",
-    "fused-bf16-16x128", "fused-bf16-8x256", "fused-bf16-32x256",
+    "fused-f32-16x128", "fused-bf16-16x128",
+    "fused-f32-32x128", "fused-bf16-32x128",
     "twostage-bf16", "twostage-f32",
 ]
 
@@ -59,8 +62,10 @@ def build_fn(net, spec):
     d_min, d_max = net.d_min, net.d_max
     model = net.model
 
-    if kind == "fused":
+    if kind in ("fused", "fusedpipe", "mlponly", "convonly"):
         th, tw = (int(v) for v in parts[2].split("x"))
+        mode = kind if kind in ("mlponly", "convonly") else "full"
+        pipe = kind == "fusedpipe"
         from aadff_tpu.ops.pallas_render import fused_render_frame
 
         @jax.jit
@@ -69,6 +74,7 @@ def build_fn(net, spec):
                 return fused_render_frame(
                     variables, img, depth, fd[None], KS, d_min, d_max,
                     compute_dtype=compute_dtype, th=th, tw=tw,
+                    mode=mode, pipe=pipe,
                 )[0]
             return jax.lax.map(one, fds)
     elif kind == "twostage":
@@ -112,7 +118,7 @@ def main():
     net.load_net(CKPT)
     rng = np.random.default_rng(0)
     depth = jnp.asarray(-rng.uniform(500, 15000, (1, 1, H, W)).astype(np.float32))
-    fds = jnp.asarray(-np.sort(rng.uniform(500, 15000, K_FRAMES))[::-1].copy(),
+    fds = jnp.asarray(-np.sort(rng.uniform(500, 15000, K2))[::-1].copy(),
                       jnp.float32)
     # distinct image contents per timed call: the tunnel caches repeated
     # identical executions
@@ -124,23 +130,29 @@ def main():
     out_path = os.path.join(REPO, "docs", "kernel_sweep.jsonl")
     for spec in specs:
         fn = build_fn(net, spec)
-        t_c0 = time.perf_counter()
-        fn(net.variables, imgs[0], depth, fds).block_until_ready()  # compile
-        compile_s = time.perf_counter() - t_c0
-        fn(net.variables, imgs[1], depth, fds).block_until_ready()  # warm
-        ts = []
-        for i in range(2, 7):
-            t0 = time.perf_counter()
-            fn(net.variables, imgs[i], depth, fds).block_until_ready()
-            ts.append(time.perf_counter() - t0)
-        t_med = float(np.median(ts))
-        ms_frame = max(t_med - rtt, 1e-9) / K_FRAMES * 1e3
+        t_med = {}
+        compile_s = 0.0
+        for k in (K1, K2):
+            t_c0 = time.perf_counter()
+            fn(net.variables, imgs[0], depth, fds[:k]).block_until_ready()
+            compile_s += time.perf_counter() - t_c0
+            fn(net.variables, imgs[1], depth, fds[:k]).block_until_ready()
+            ts = []
+            for i in range(2, 7):
+                t0 = time.perf_counter()
+                fn(net.variables, imgs[i], depth, fds[:k]).block_until_ready()
+                ts.append(time.perf_counter() - t0)
+            t_med[k] = float(np.median(ts))
+        ms_frame = (t_med[K2] - t_med[K1]) / (K2 - K1) * 1e3
         rec = {
             "config": spec, "device_ms_per_frame": round(ms_frame, 3),
             "compute_fps": round(1e3 / ms_frame, 1),
-            "dispatch_ms": round(t_med * 1e3, 1),
+            "dispatch_ms": {k: round(v * 1e3, 1) for k, v in t_med.items()},
+            "fixed_ms_per_dispatch": round(
+                t_med[K1] * 1e3 - K1 * ms_frame, 1),
             "link_roundtrip_ms": round(rtt * 1e3, 2),
-            "k_frames": K_FRAMES, "compile_s": round(compile_s, 1),
+            "method": f"slope K1={K1} K2={K2}",
+            "compile_s": round(compile_s, 1),
             "date": time.strftime("%Y-%m-%d"),
         }
         print(json.dumps(rec))
