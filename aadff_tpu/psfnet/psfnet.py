@@ -408,7 +408,14 @@ class PSFNet:
     # ------------------------------------------------------------------
     def evaluate_psf_score(self, spp=None, n_z=40, foc_subset=None):
         """Mean L1/L2 PSF error over the (foc, z, field-grid) lattice
-        (reference psfnet.py:305-369).  Returns (avg_l1, avg_l2)."""
+        (reference psfnet.py:305-369).  Returns (avg_l1, avg_l2).
+
+        The whole lattice — up to 20 foc x 40 z combos, each ray-tracing the
+        80-point field grid and evaluating the surrogate — runs as ONE
+        `lax.scan` program: the r2 version dispatched each combo separately
+        (~1,600 link round trips = ~50 s of pure latency per gate run on a
+        30 ms link).  Focus states are pre-resolved on host and selected
+        in-graph, the fit loop's pattern."""
         spp = self.spp if spp is None else spp
         ks = self.kernel_size
         gh, gw = self.psf_grid
@@ -417,32 +424,61 @@ class PSFNet:
             np.linspace(1 - 1 / (2 * gh), -1 + 1 / (2 * gh), gh),
             indexing="xy",
         )
-        x, y = x.reshape(-1), y.reshape(-1)
-        test_foc_z = self.foc_z_arr if foc_subset is None else self.foc_z_arr[foc_subset]
+        xj = jnp.asarray(x.reshape(-1), jnp.float32)
+        yj = jnp.asarray(y.reshape(-1), jnp.float32)
+        foc_idx = (np.arange(len(self.foc_z_arr)) if foc_subset is None
+                   else np.asarray(foc_subset))
         test_z = np.linspace(0, 1, n_z, endpoint=True)
 
-        l1_err, l2_err = [], []
-        for foc_z in test_foc_z:
-            foc_dist = foc_z * (self.d_max - self.d_min) + self.d_min
-            self.lens.refocus(float(foc_dist))
-            for z in test_z:
-                depth = z * (self.d_max - self.d_min) + self.d_min
-                pts = jnp.asarray(
-                    np.stack([x, y, np.full_like(x, depth)], axis=-1),
-                    jnp.float32,
+        # Pre-resolve each tested focus state once; stack for in-graph select.
+        per_focus = []
+        for i in foc_idx:
+            self.lens.refocus(float(self.foc_d_arr[i]))
+            per_focus.append(self._lens_scalars())
+        stacked = tuple(
+            jnp.stack([s[j] for s in per_focus]) for j in range(len(per_focus[0]))
+        )
+
+        # lattice, foc-major like the reference loops
+        fi = np.repeat(np.arange(len(foc_idx)), n_z)
+        zs = np.tile(test_z, len(foc_idx)).astype(np.float32)
+        foc_zs = np.asarray(self.foc_z_arr, np.float32)[foc_idx][
+            np.repeat(np.arange(len(foc_idx)), n_z)
+        ]
+        keys = jax.random.split(self.next_key(), len(fi))
+
+        model, lens = self.model, self.lens
+        metas = lens.metas
+        lens_range = tuple(range(len(metas)))
+        d_min, d_max = self.d_min, self.d_max
+
+        @jax.jit
+        def score(variables, lens_params, stacked_scalars, keys, fi, zs, foc_zs):
+            def step(carry, xs):
+                key, i, z, foc_z = xs
+                scalars = tuple(s[i] for s in stacked_scalars)
+                depth = z * (d_max - d_min) + d_min
+                pts = jnp.stack([xj, yj, jnp.full_like(xj, depth)], axis=-1)
+                psf_gt = _psf_impl(
+                    lens_params, metas, pts, key, ks, spp, DEFAULT_WAVE, True,
+                    lens_range, *scalars,
                 )
-                psf_gt = self.psf(points=pts, ks=ks, spp=spp)
-                inp = jnp.asarray(
-                    np.stack(
-                        [x, y, np.full_like(x, z), np.full_like(x, foc_z)],
-                        axis=-1,
-                    ),
-                    jnp.float32,
+                inp = jnp.stack(
+                    [xj, yj, jnp.full_like(xj, z), jnp.full_like(xj, foc_z)],
+                    axis=-1,
                 )
-                pred = self.model.apply(self.variables, inp).reshape(-1, ks, ks)
-                l2_err.append(float(jnp.sum((psf_gt - pred) ** 2) / psf_gt.size))
-                l1_err.append(float(jnp.sum(jnp.abs(psf_gt - pred)) / psf_gt.size))
-        return float(np.mean(l1_err)), float(np.mean(l2_err))
+                pred = model.apply(variables, inp).reshape(-1, ks, ks)
+                n = psf_gt.size
+                l1 = jnp.sum(jnp.abs(psf_gt - pred)) / n
+                l2 = jnp.sum((psf_gt - pred) ** 2) / n
+                return carry, (l1, l2)
+
+            _, (l1s, l2s) = jax.lax.scan(step, None, (keys, fi, zs, foc_zs))
+            return jnp.mean(l1s), jnp.mean(l2s)
+
+        l1, l2 = score(self.variables, lens.params, stacked, keys,
+                       jnp.asarray(fi), jnp.asarray(zs), jnp.asarray(foc_zs))
+        return float(l1), float(l2)
 
     def thin_lens_psf(self, depth, foc_dist, thinlens=None):
         """Thin-lens Gaussian-CoC PSF [ks, ks] (reference psfnet.py:268-301):

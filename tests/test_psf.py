@@ -147,3 +147,20 @@ def test_psf_second_lens(rf50mm):
                    key=jax.random.PRNGKey(1))
     assert np.isfinite(np.asarray(psf)).all()
     np.testing.assert_allclose(np.asarray(psf.sum()), 1.0, atol=1e-5)
+
+
+def test_evaluate_psf_score_scanned_gate():
+    """The quality gate (reference psfnet.py:305-369) runs as one scanned
+    program and reproduces the shipped checkpoint's error band on a reduced
+    lattice (full-lattice artifact: PSF_GATE.json)."""
+    from aadff_tpu.psfnet import PSFNet
+
+    import os
+
+    net = PSFNet("/root/reference/lenses/rf50mm/lens.json", kernel_size=11,
+                 sensor_res=(480, 640))
+    net.load_net(os.path.join(os.path.dirname(__file__), "..",
+                              "ckpt/rf50mm/psfnet_480x640_ks11.msgpack"))
+    l1, l2 = net.evaluate_psf_score(spp=512, n_z=2, foc_subset=[0, 9, 19])
+    assert 0 < l1 < 0.05, l1
+    assert 0 < l2 < 1e-3, l2
