@@ -132,12 +132,15 @@ def main():
     args = ap.parse_args()
 
     batches = make_batches()
-    rec = {"steps": args.steps, "lr": args.lr, "task": "D_FS",
-           "shapes": f"bs={B} stack={S} res={H}x{W}, {N_BATCHES} fixed batches"}
     out_path = os.path.join(REPO, "docs", "aifnet_oracle.json")
+    rec = {}
     if os.path.exists(out_path):
         with open(out_path) as f:
-            rec.update(json.load(f))
+            rec = json.load(f)
+    # fresh run metadata wins over any stale file contents
+    rec.update({"steps": args.steps, "lr": args.lr, "task": "D_FS",
+                "shapes": f"bs={B} stack={S} res={H}x{W}, "
+                          f"{N_BATCHES} fixed batches"})
 
     def summarize(losses):
         k = max(len(losses) // 10, 1)
