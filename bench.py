@@ -36,7 +36,14 @@ H, W, KS, N_STACK = 480, 640, 11, 10
 
 
 def measure_reference_cpu(n_frames=2):
-    """Time the reference renderer (torch CPU): MLP field pred + unfold conv."""
+    """Time the reference renderer (torch CPU): MLP field pred + unfold conv.
+
+    Re-implemented op-for-op from /root/reference/deeplens/render_psf.py:76-127
+    + psfnet.py:375-441 rather than imported: importing the reference package
+    pulls in cv2/matplotlib/lpips module-level side effects that need stubbing
+    (pfmreader.py even executes demo code on import), and the reference's
+    device plumbing assumes CUDA.  The math here is the same unfold/mul/fold.
+    """
     import torch
     import torch.nn.functional as tF
 
