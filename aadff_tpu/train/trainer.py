@@ -227,10 +227,17 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, name: str = "last"):
 
 
 def load_checkpoint(ckpt_dir: str, state: TrainState, name: str = "last"):
-    from flax.serialization import from_bytes
+    from flax.serialization import (from_state_dict, msgpack_restore,
+                                    to_state_dict)
 
     with open(os.path.join(ckpt_dir, f"depth_net_{name}.msgpack"), "rb") as f:
-        return from_bytes(state, f.read())
+        sd = msgpack_restore(f.read())
+    # Committed eval checkpoints are stripped of optimizer state (~3x smaller,
+    # see scripts/strip_ckpt.py); fill any missing fields from the caller's
+    # freshly-initialised state so `--eval-only` loads them directly.
+    full = dict(to_state_dict(state))
+    full.update(sd)
+    return from_state_dict(state, full)
 
 
 class OrbaxManager:

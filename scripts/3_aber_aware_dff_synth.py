@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--eval-only", default=None, metavar="CKPT_NAME",
                     help="skip training; validate checkpoint "
                          "depth_net_<CKPT_NAME>.msgpack and exit")
+    ap.add_argument("--val-dir", default=None,
+                    help="override the validation scene dir (e.g. the "
+                         "held-out test split datasets/SynthMiddlebury/test)")
     ap.add_argument("--time-budget", type=float, default=600.0,
                     help="stop cleanly after the first epoch that ends past "
                          "this many seconds (a SIGTERM kill can wedge the "
@@ -75,6 +78,8 @@ def main():
     os.makedirs(args_cli.workdir, exist_ok=True)
     args = load_config(args_cli.config)
     args["results_dir"] = args_cli.workdir
+    if args_cli.val_dir:
+        args["SynthMiddlebury_val"] = args_cli.val_dir
     set_seed(126)
 
     progress_path = os.path.join(args_cli.workdir, "progress.json")

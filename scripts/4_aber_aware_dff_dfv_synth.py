@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--eval-only", default=None, metavar="CKPT_NAME",
                     help="skip training; validate checkpoint "
                          "depth_net_<CKPT_NAME>.msgpack, save depth maps, exit")
+    ap.add_argument("--val-dir", default=None,
+                    help="override the validation scene dir (e.g. the "
+                         "held-out test split datasets/SynthMiddlebury/test)")
     args_cli = ap.parse_args()
     t_start = time.time()
 
@@ -72,6 +75,8 @@ def main():
     os.makedirs(args_cli.workdir, exist_ok=True)
     args = load_config(args_cli.config)
     args["results_dir"] = args_cli.workdir
+    if args_cli.val_dir:
+        args["SynthMiddlebury_val"] = args_cli.val_dir
     set_seed(126)
 
     progress_path = os.path.join(args_cli.workdir, "progress.json")

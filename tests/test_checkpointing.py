@@ -38,6 +38,52 @@ def test_orbax_manager_save_restore(tiny_state, tmp_path):
     assert int(r1.step) == 0
 
 
+def test_msgpack_roundtrip(tiny_state, tmp_path):
+    import jax
+
+    from aadff_tpu.train.trainer import load_checkpoint, save_checkpoint
+
+    state2 = tiny_state.replace(step=tiny_state.step + 7)
+    save_checkpoint(str(tmp_path), state2, "best")
+    restored = load_checkpoint(str(tmp_path), tiny_state, "best")
+    assert int(restored.step) == 7
+    for a, b in zip(jax.tree.leaves(state2.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_stripped_checkpoint(tiny_state, tmp_path):
+    """Committed eval checkpoints drop opt_state (scripts/strip_ckpt.py);
+    load_checkpoint must restore them, keeping the fresh opt_state."""
+    import subprocess
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from aadff_tpu.train.trainer import load_checkpoint, save_checkpoint
+
+    bumped = jax.tree.map(lambda p: p + 1.0, tiny_state.params)
+    state2 = tiny_state.replace(params=bumped, step=jnp.asarray(42))
+    save_checkpoint(str(tmp_path), state2, "full")
+    full = str(tmp_path / "depth_net_full.msgpack")
+    stripped = str(tmp_path / "depth_net_stripped.msgpack")
+    import os
+    script = os.path.join(os.path.dirname(__file__), "..",
+                          "scripts", "strip_ckpt.py")
+    subprocess.run([sys.executable, script, full, stripped], check=True)
+    assert os.path.getsize(stripped) < 0.5 * os.path.getsize(full)
+
+    restored = load_checkpoint(str(tmp_path), tiny_state, "stripped")
+    assert int(restored.step) == 42
+    for a, b in zip(jax.tree.leaves(bumped), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # opt_state untouched (came from the caller's fresh state)
+    for a, b in zip(jax.tree.leaves(tiny_state.opt_state),
+                    jax.tree.leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_orbax_retention(tiny_state, tmp_path):
     from aadff_tpu.train.trainer import OrbaxManager
 
