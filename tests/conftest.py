@@ -5,9 +5,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: env may pre-set a TPU platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = flags + " --xla_force_host_platform_device_count=8"
+# 8 mesh device threads share this host's single CPU core; under load the
+# cross-device all-reduce rendezvous can exceed XLA's default terminate
+# watchdog, which kills the whole process with SIGABRT ("Termination timeout
+# ... Exiting to ensure a consistent program state"). Raise it far above any
+# legitimate stall.
+if "collective_call_terminate_timeout" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags.strip()
 
 # The axon sitecustomize force-sets jax_platforms="axon,cpu" at interpreter
 # start; backends initialise lazily, so overriding the config here (before any
