@@ -58,6 +58,15 @@ from jax.experimental.pallas import tpu as pltpu
 TH, TW = 32, 128
 
 
+def fused_tile_height(h: int, w: int):
+    """Tile height the fused kernel uses for an (h, w) frame, or None when
+    the extents aren't tile-aligned (callers fall back to the two-stage
+    MLP+scan path).  Single source of truth for fused-path eligibility —
+    PSFNet's render dispatch and bench.py's path label both use it."""
+    th = next((t for t in (32, 16, 8) if h % t == 0), None)
+    return th if (th is not None and w % TW == 0) else None
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 

@@ -564,10 +564,10 @@ class PSFNet:
             # height: largest of 32/16/8 dividing H (the r3 sweep measured
             # monotone gains up to 32 — fewer grid steps amortise the
             # per-step fixed VPU work).
-            from ..ops.pallas_render import TW as _TW
+            from ..ops.pallas_render import fused_tile_height
 
-            _th = next((t for t in (32, 16, 8) if H_res % t == 0), None)
-            fused_ok = (_th is not None) and (W_res % _TW == 0)
+            _th = fused_tile_height(H_res, W_res)
+            fused_ok = _th is not None
             # interpret mode makes the kernels runnable on the CPU test
             # mesh; on TPU they compile via Mosaic as usual
             interpret = jax.default_backend() == "cpu"
@@ -646,6 +646,20 @@ class PSFNet:
         return self._get_stack_jit(bool(use_pallas))(
             self.variables, img, depth, focus_dists
         )
+
+    def render_path(self, use_pallas: Optional[bool] = None) -> str:
+        """Label of the path render()/render_stack() would dispatch at the
+        native sensor resolution (diagnostics — bench.py prints this)."""
+        from ..ops.pallas_render import TW, fused_tile_height
+
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        if not use_pallas:
+            return "xla-mlp+scan(f32)"
+        th = fused_tile_height(*self.lens.sensor_res)
+        if th is not None:
+            return f"fused-mlp+conv({self.render_dtype},tile{th}x{TW})"
+        return f"pallas-mlp({self.render_dtype})+scan"
 
     def render(self, img, depth, foc_dist, use_pallas: Optional[bool] = None):
         """Render an aberrated+defocused image (reference psfnet.py:393-441).

@@ -61,8 +61,13 @@ def make_dfv_train_step(model: DFVNet, optimizer):
         params = guard_nonfinite(ok, params, state.params)
         opt_state = guard_nonfinite(ok, opt_state, state.opt_state)
         new_bs = guard_nonfinite(ok, new_bs, state.batch_stats)
+        # Same reporting contract as the AiF step: zeroed loss + an explicit
+        # skip flag, so one NaN batch neither poisons the epoch accumulator
+        # nor passes silently (train logs record the skip count).
+        losses = {"total": jnp.where(ok, loss, 0.0),
+                  "skipped_nonfinite": (~ok).astype(jnp.float32)}
         return TrainState(params=params, batch_stats=new_bs,
-                          opt_state=opt_state, step=state.step + 1), loss
+                          opt_state=opt_state, step=state.step + 1), losses
 
     return train_step
 
@@ -145,9 +150,9 @@ def train(args):
                 dict(stack=np.asarray(stack), fp=focus_dists.astype(np.float32),
                      depth=depth),
             )
-            state, loss = train_step(state, batch["stack"], batch["fp"],
-                                     batch["depth"])
-            epoch_loss += float(loss)
+            state, losses = train_step(state, batch["stack"], batch["fp"],
+                                       batch["depth"])
+            epoch_loss += float(losses["total"])
             n_batches += 1
         if n_batches:
             logging.info(f"epoch {epoch}: loss {epoch_loss / n_batches:.4f}")

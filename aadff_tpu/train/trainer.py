@@ -98,6 +98,10 @@ def make_aif_train_step(model: AiFDepthNet, optimizer, task: str,
         # batch_stats too: a poisoned forward pass would otherwise bake NaNs
         # into BN running stats (momentum average with NaN stays NaN forever).
         new_bs = guard_nonfinite(ok, new_bs, state.batch_stats)
+        # Reported losses are zeroed on a skipped batch — otherwise one NaN
+        # loss still poisons the host-side epoch accumulator even though the
+        # state was protected (the skip stays visible via the counter below).
+        losses = jax.tree.map(lambda v: jnp.where(ok, v, 0.0), losses)
         losses["skipped_nonfinite"] = (~ok).astype(jnp.float32)
 
         new_state = TrainState(

@@ -115,10 +115,10 @@ def measure_ours(n_reps=5, s_long=30):
 
     Returns a dict; `value` in the driver JSON line is compute_fps.
     """
-    import jax
     import jax.numpy as jnp
 
     from aadff_tpu.psfnet import PSFNet
+    from aadff_tpu.utils.benchmeasure import measure_rtt, slope_rate
     from aadff_tpu.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()
@@ -127,15 +127,7 @@ def measure_ours(n_reps=5, s_long=30):
     net.load_net(OUR_CKPT)
 
     # link round trip (context: wall_fps - compute_fps gap should match)
-    tiny = jax.jit(lambda a: a + 1.0)
-    x = jnp.zeros((8, 128))
-    tiny(x).block_until_ready()
-    rtts = []
-    for _ in range(15):
-        t0 = time.perf_counter()
-        tiny(x).block_until_ready()
-        rtts.append(time.perf_counter() - t0)
-    rtt_ms = float(np.median(rtts)) * 1e3
+    rtt_ms = measure_rtt()
 
     rng = np.random.default_rng(0)
     depth = jnp.asarray(-rng.uniform(500, 15000, (1, 1, H, W)).astype(np.float32))
@@ -150,20 +142,12 @@ def measure_ours(n_reps=5, s_long=30):
     imgs = [jnp.asarray(rng.uniform(0, 1, (1, 3, H, W)).astype(np.float32))
             for _ in range(n_reps + 2)]
 
-    times = {}
-    for s in (N_STACK, s_long):
-        net.render_stack(imgs[0], depth, fds[s]).block_until_ready()  # compile
-        net.render_stack(imgs[1], depth, fds[s]).block_until_ready()  # warm-up
-        ts = []
-        for i in range(2, n_reps + 2):
-            t0 = time.perf_counter()
-            net.render_stack(imgs[i], depth, fds[s]).block_until_ready()
-            ts.append(time.perf_counter() - t0)
-        times[s] = float(np.median(ts))
+    def run(s, i):
+        net.render_stack(imgs[i], depth, fds[s]).block_until_ready()
 
+    compute_fps, times = slope_rate(run, N_STACK, s_long, n_reps=n_reps)
     wall_fps = N_STACK / times[N_STACK]
-    ms_frame = (times[s_long] - times[N_STACK]) / (s_long - N_STACK) * 1e3
-    compute_fps = 1e3 / ms_frame
+    ms_frame = 1e3 / compute_fps
 
     # MFU diagnostics (stderr; stdout stays one JSON line).  The MLP holds
     # essentially all the FLOPs: per pixel, 2 * sum(kernel sizes) MACs.
@@ -177,14 +161,10 @@ def measure_ours(n_reps=5, s_long=30):
     gflop_per_frame = 2 * (mlp_macs + conv_macs) * H * W / 1e9
     tflops = gflop_per_frame * compute_fps / 1e3
     peak = 197.0  # TPU v5e bf16 peak TFLOP/s (scaling-book); MFU vs this
-    from aadff_tpu.ops.pallas_render import TW
-
-    path = ("fused-mlp+conv" if (any(H % t == 0 for t in (32, 16, 8))
-                                 and W % TW == 0)
-            else f"pallas-mlp({net.render_dtype})+scan")
+    path = net.render_path()  # single source of truth (psfnet.render_path)
     mfu_pct = 100 * tflops / peak
     print(
-        f"[bench] path={path}({net.render_dtype}) "
+        f"[bench] path={path} "
         f"{gflop_per_frame:.1f} GFLOP/frame, device {ms_frame:.2f} ms/frame, "
         f"{tflops:.1f} TFLOP/s achieved, MFU~{mfu_pct:.1f}% of v5e bf16 peak; "
         f"wall {wall_fps:.1f} fps at {rtt_ms:.1f} ms link RTT",

@@ -150,21 +150,23 @@ def main():
                     args_cli.total_epochs)
     for epoch in range(start_epoch, end_epoch):
         t0 = time.time()
-        epoch_loss, n_batches = 0.0, 0
+        epoch_loss, n_batches, n_skipped = 0.0, 0, 0
         for aif, depth in train_loader:
             if np.isnan(depth).any():
                 continue
             focus_dists = select_focus_dist(depth, n_stack, mode="linear")
             stack = render_focal_stack(train_lens, aif, depth, focus_dists)
-            state, loss = train_step(
+            state, losses = train_step(
                 state, stack, jnp.asarray(focus_dists, jnp.float32),
                 jnp.asarray(depth),
             )
-            epoch_loss += float(loss)
+            epoch_loss += float(losses["total"])
+            n_skipped += int(losses["skipped_nonfinite"])
             n_batches += 1
         rec = {"epoch": epoch + 1,
                "loss": round(epoch_loss / max(n_batches, 1), 5),
-               "steps": n_batches, "sec": round(time.time() - t0, 1)}
+               "steps": n_batches, "skipped": n_skipped,
+               "sec": round(time.time() - t0, 1)}
         print("train:", json.dumps(rec))
         with open(os.path.join(args_cli.workdir, "train_log.jsonl"), "a") as f:
             f.write(json.dumps(rec) + "\n")

@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from aadff_tpu.utils.benchmeasure import measure_rtt, slope_rate
+
 REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 LENS = os.path.join(REPO, "lenses/rf50mm.json")
 CKPT = os.path.join(REPO, "ckpt/rf50mm/psfnet_480x640_ks11.msgpack")
@@ -40,18 +42,6 @@ DEFAULT_SWEEP = [
     "fused-f32-32x128", "fused-bf16-32x128",
     "twostage-bf16", "twostage-f32",
 ]
-
-
-def measure_rtt(n=20):
-    x = jnp.zeros((8, 128))
-    f = jax.jit(lambda a: a + 1.0)
-    f(x).block_until_ready()
-    ts = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        f(x).block_until_ready()
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
 
 
 def build_fn(net, spec):
@@ -125,34 +115,30 @@ def main():
     imgs = [jnp.asarray(rng.uniform(0, 1, (1, 3, H, W)).astype(np.float32))
             for _ in range(7)]
 
-    rtt = measure_rtt()
-    print(f"[sweep] link RTT {rtt * 1e3:.1f} ms", file=sys.stderr)
+    rtt_ms = measure_rtt(n_reps=20)
+    print(f"[sweep] link RTT {rtt_ms:.1f} ms", file=sys.stderr)
     out_path = os.path.join(REPO, "docs", "kernel_sweep.jsonl")
     for spec in specs:
         fn = build_fn(net, spec)
-        t_med = {}
-        compile_s = 0.0
-        for k in (K1, K2):
-            t_c0 = time.perf_counter()
-            fn(net.variables, imgs[0], depth, fds[:k]).block_until_ready()
-            compile_s += time.perf_counter() - t_c0
-            fn(net.variables, imgs[1], depth, fds[:k]).block_until_ready()
-            ts = []
-            for i in range(2, 7):
-                t0 = time.perf_counter()
-                fn(net.variables, imgs[i], depth, fds[:k]).block_until_ready()
-                ts.append(time.perf_counter() - t0)
-            t_med[k] = float(np.median(ts))
-        ms_frame = (t_med[K2] - t_med[K1]) / (K2 - K1) * 1e3
+        compile_s = [0.0]
+
+        def run(k, i, fn=fn):
+            t0 = time.perf_counter()
+            fn(net.variables, imgs[i], depth, fds[:k]).block_until_ready()
+            if i == 0:  # first call per size = compile
+                compile_s[0] += time.perf_counter() - t0
+
+        rate_fps, t_med = slope_rate(run, K1, K2)
+        ms_frame = 1e3 / rate_fps
         rec = {
             "config": spec, "device_ms_per_frame": round(ms_frame, 3),
-            "compute_fps": round(1e3 / ms_frame, 1),
+            "compute_fps": round(rate_fps, 1),
             "dispatch_ms": {k: round(v * 1e3, 1) for k, v in t_med.items()},
             "fixed_ms_per_dispatch": round(
                 t_med[K1] * 1e3 - K1 * ms_frame, 1),
-            "link_roundtrip_ms": round(rtt * 1e3, 2),
+            "link_roundtrip_ms": round(rtt_ms, 2),
             "method": f"slope K1={K1} K2={K2}",
-            "compile_s": round(compile_s, 1),
+            "compile_s": round(compile_s[0], 1),
             "date": time.strftime("%Y-%m-%d"),
         }
         print(json.dumps(rec))

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from aadff_tpu.utils.benchmeasure import measure_rtt, slope_rate
+
 REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 LENS = os.path.join(REPO, "lenses/rf50mm.json")
 CKPT = os.path.join(REPO, "ckpt/rf50mm/psfnet_480x640_ks11.msgpack")
@@ -38,33 +40,31 @@ def bench_render(net):
     }
     imgs = [jnp.asarray(rng.uniform(0, 1, (1, 3, H, W)).astype(np.float32))
             for _ in range(7)]
-    times = {}
-    for s in (S, s_long):
-        net.render_stack(imgs[0], depth, fds[s]).block_until_ready()
-        net.render_stack(imgs[1], depth, fds[s]).block_until_ready()
-        ts = []
-        for i in range(2, 7):
-            t0 = time.perf_counter()
-            net.render_stack(imgs[i], depth, fds[s]).block_until_ready()
-            ts.append(time.perf_counter() - t0)
-        times[s] = float(np.median(ts))
-    wall_fps = S / times[S]
-    compute_fps = (s_long - S) / (times[s_long] - times[S])
-    return wall_fps, compute_fps
+
+    def run(s, i):
+        net.render_stack(imgs[i], depth, fds[s]).block_until_ready()
+
+    compute_fps, times = slope_rate(run, S, s_long)
+    return S / times[S], compute_fps
 
 
-def bench_psfs(net, spp=4096, n_points=128, n_calls=6):
+def bench_psfs(net, spp=4096, n_short=128, n_long=512):
+    """Device PSFs/sec via the same two-point slope as bench_render: batch
+    sizes n_short and n_long each get their own program + fixed dispatch
+    cost; the difference cancels it (inputs are KB-sized, so upload time is
+    batch-independent)."""
     rng = np.random.default_rng(1)
-    ptss = [jnp.asarray(np.stack([
-        rng.uniform(-1, 1, n_points), rng.uniform(-1, 1, n_points),
-        -rng.uniform(500, 20000, n_points)], -1).astype(np.float32))
-        for _ in range(n_calls)]
-    net.psf(ptss[0], spp=spp).block_until_ready()
-    net.psf(ptss[1], spp=spp).block_until_ready()
-    t0 = time.perf_counter()
-    outs = [net.psf(p, spp=spp) for p in ptss[2:]]
-    jax.block_until_ready(outs)
-    return n_points * (n_calls - 2) / (time.perf_counter() - t0)
+
+    def pts(n):
+        return jnp.asarray(np.stack([
+            rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+            -rng.uniform(500, 20000, n)], -1).astype(np.float32))
+
+    def run(n, i):
+        net.psf(pts(n), spp=spp).block_until_ready()
+
+    rate, _ = slope_rate(run, n_short, n_long, n_reps=4)
+    return rate
 
 
 def bench_psfnet_fit(net, n_chunks=4, K=25, bs=128, spp=4096):
@@ -145,13 +145,7 @@ def main():
     # Dispatch round-trip of the tunnelled platform (observed 1-40 ms by
     # session) — dominates the small-program numbers below; record it so the
     # artifact is interpretable across sessions.
-    x = jnp.zeros((8, 128))
-    f = jax.jit(lambda a: a + 1.0)
-    f(x).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(10):
-        f(x).block_until_ready()
-    rtt_ms = (time.perf_counter() - t0) / 10 * 1e3
+    rtt_ms = measure_rtt(n_reps=10)
 
     wall_fps, compute_fps = bench_render(net)
     report = {

@@ -40,9 +40,12 @@ N_PROCEDURAL_VAL = 7  # held-out procedural val scenes (separate RNG stream)
 # validation noise (+-0.03 AbsRel on 5 scenes) stops deciding the
 # aberration-aware vs thin-lens comparison; train grows 78 -> 112 scenes.
 N_PROCEDURAL_TEST = 16  # never-seen test split (third RNG stream): 16
-# procedural scenes + the 5 val real depth maps with fresh textures = 21
-# scenes, used only for the one-shot post-training evaluation (no
-# checkpoint selection happens on it, unlike val's best-MSE gating)
+# procedural scenes whose depth geometry appears in no other split, used
+# only for the one-shot post-training evaluation (no checkpoint selection
+# happens on it, unlike val's best-MSE gating).  The 5 val real depth maps
+# with fresh textures go to test_retex/ instead: their *geometry* gated
+# best-checkpoint selection, so they probe texture generalization only and
+# must not be averaged into the held-out test numbers.
 
 
 def _smooth_field(rng, h, w, n_waves=6, freq_lo=0.5, freq_hi=4.0):
@@ -185,11 +188,11 @@ def main(out_dir=OUT):
         write_scene(os.path.join(out_dir, "val", f"ProceduralVal-{k:02d}"),
                     synth_texture(rng_val, depth_m), depth_m)
         n_val += 1
-    # test split: third RNG stream; fresh textures over the val-only real
-    # depth maps + fresh procedural scenes.  Evaluated once per trained
-    # checkpoint — no model/epoch selection uses it.
+    # test split: third RNG stream; strictly held-out — fresh procedural
+    # geometry only.  Evaluated once per trained checkpoint; no model/epoch
+    # selection uses it.
     rng_test = np.random.default_rng(555333)
-    n_test = 0
+    n_test = n_retex = 0
     for path in scenes:
         scene = path.split("/")[-2]
         if scene not in VAL_SCENES:
@@ -197,16 +200,19 @@ def main(out_dir=OUT):
         depth_mm = cv.imread(path, -1).astype(np.float32)
         depth_m = cv.resize(depth_mm, (W, H),
                             interpolation=cv.INTER_NEAREST) / 1000.0
-        write_scene(os.path.join(out_dir, "test", f"{scene}-retex"),
+        # val geometry + fresh textures: texture-generalization probe only
+        # (best-checkpoint selection gated on these depth maps via val MSE,
+        # so they would bias a "never-seen" test average)
+        write_scene(os.path.join(out_dir, "test_retex", f"{scene}-retex"),
                     synth_texture(rng_test, depth_m), depth_m)
-        n_test += 1
+        n_retex += 1
     for k in range(N_PROCEDURAL_TEST):
         depth_m = procedural_depth(rng_test)
         write_scene(os.path.join(out_dir, "test", f"ProceduralTest-{k:02d}"),
                     synth_texture(rng_test, depth_m), depth_m)
         n_test += 1
-    print(f"SynthMiddlebury: {n_train} train, {n_val} val, {n_test} test "
-          f"scenes -> {out_dir}")
+    print(f"SynthMiddlebury: {n_train} train, {n_val} val, {n_test} test, "
+          f"{n_retex} test_retex scenes -> {out_dir}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,53 @@
+"""Unit tests for the shared slope-benchmark protocol (utils/benchmeasure).
+
+The protocol is the basis of every published throughput number, so its two
+contractual behaviors are pinned: the slope cancels a fixed per-call cost,
+and a noise-inverted slope falls back to the long program's wall rate
+instead of returning a negative/infinite rate (the failure mode that made
+BENCH_r02 regress while the kernel got faster)."""
+import numpy as np
+
+from aadff_tpu.utils.benchmeasure import slope_rate
+
+
+def _fake_clock_run(sec_per_unit, fixed_sec, clock):
+    """run(size, i) that advances a fake clock instead of sleeping."""
+    def run(size, i):
+        clock[0] += fixed_sec + size * sec_per_unit
+    return run
+
+
+def test_slope_cancels_fixed_cost(monkeypatch):
+    import aadff_tpu.utils.benchmeasure as bm
+
+    clock = [0.0]
+    monkeypatch.setattr(bm.time, "perf_counter", lambda: clock[0])
+    # 1 ms/unit of device work buried under a 50 ms fixed dispatch cost
+    rate, times = bm.slope_rate(_fake_clock_run(1e-3, 50e-3, clock), 10, 30)
+    assert np.isclose(rate, 1000.0)
+    # the raw wall rate of the short program would be badly understated
+    assert 10 / times[10] < 200
+
+
+def test_inverted_slope_falls_back_to_wall_rate(monkeypatch):
+    import aadff_tpu.utils.benchmeasure as bm
+
+    clock = [0.0]
+    monkeypatch.setattr(bm.time, "perf_counter", lambda: clock[0])
+    # pure fixed cost: the work delta vanished into jitter -> dt == 0;
+    # the fallback must return the (finite, positive) long-program rate
+    rate, times = bm.slope_rate(_fake_clock_run(0.0, 50e-3, clock), 10, 30)
+    assert np.isfinite(rate) and rate > 0
+    assert np.isclose(rate, 30 / times[30])
+
+
+def test_distinct_rep_indices_per_size():
+    seen = []
+
+    def run(size, i):
+        seen.append((size, i))
+
+    rate, _ = slope_rate(run, 2, 4, n_reps=3, n_warm=2)
+    # warmups then timed reps, indices distinct within each size
+    assert seen == [(2, 0), (2, 1), (2, 2), (2, 3), (2, 4),
+                    (4, 0), (4, 1), (4, 2), (4, 3), (4, 4)]

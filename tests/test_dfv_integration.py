@@ -50,9 +50,10 @@ def test_dfv_training_end_to_end(tmp_path):
         stack = render_focal_stack(lens, aif, depth, fds)
         batch = shard_batch(mesh, dict(stack=np.asarray(stack),
                                        fp=fds.astype(np.float32), depth=depth))
-        state, loss = train_step(state, batch["stack"], batch["fp"],
-                                 batch["depth"])
-    assert np.isfinite(float(loss))
+        state, losses = train_step(state, batch["stack"], batch["fp"],
+                                   batch["depth"])
+    assert np.isfinite(float(losses["total"]))
+    assert float(losses["skipped_nonfinite"]) == 0.0
 
     args = {"results_dir": str(tmp_path)}
     scores = validate_dfv(eval_step, state, lens,

@@ -202,16 +202,16 @@ def test_dfv_data_parallel_equivalence():
                                 jnp.asarray(fp[:1]), jax.random.PRNGKey(4))
     step = make_dfv_train_step(model, optimizer)
 
-    s1, loss1 = step(state0, jnp.asarray(stack), jnp.asarray(fp),
-                     jnp.asarray(depth))
+    s1, losses1 = step(state0, jnp.asarray(stack), jnp.asarray(fp),
+                       jnp.asarray(depth))
     assert jax.device_count() >= 8
     mesh = make_mesh(8)
     state8 = replicate(mesh, create_train_state(
         model, optimizer, jnp.asarray(stack[:1]), jnp.asarray(fp[:1]),
         jax.random.PRNGKey(4)))
     batch = shard_batch(mesh, dict(stack=stack, fp=fp, depth=depth))
-    s8, loss8 = step(state8, batch["stack"], batch["fp"], batch["depth"])
-    assert abs(float(loss1) - float(loss8)) < 1e-4
+    s8, losses8 = step(state8, batch["stack"], batch["fp"], batch["depth"])
+    assert abs(float(losses1["total"]) - float(losses8["total"])) < 1e-4
 
 
 def test_dfv_train_step_nan_guard():
@@ -233,14 +233,18 @@ def test_dfv_train_step_nan_guard():
     before = jax.tree.map(lambda x: np.asarray(x).copy(),
                           (state.params, state.batch_stats))
     bad_stack = jnp.full_like(stack, jnp.nan)
-    state, loss = step(state, bad_stack, fp, depth)
-    assert not np.isfinite(float(loss))
+    state, losses = step(state, bad_stack, fp, depth)
+    # skip is flagged and the reported loss is zeroed (epoch accumulators
+    # on the host must stay finite)
+    assert float(losses["skipped_nonfinite"]) == 1.0
+    assert float(losses["total"]) == 0.0
     after = (state.params, state.batch_stats)
     for b, a in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
         np.testing.assert_array_equal(b, np.asarray(a))
     # and a sane batch afterwards still updates
-    state2, loss2 = step(state, stack, fp, depth)
-    assert np.isfinite(float(loss2))
+    state2, losses2 = step(state, stack, fp, depth)
+    assert float(losses2["skipped_nonfinite"]) == 0.0
+    assert np.isfinite(float(losses2["total"]))
     assert any(
         not np.array_equal(b, np.asarray(a))
         for b, a in zip(jax.tree.leaves(before), jax.tree.leaves(state2.params))

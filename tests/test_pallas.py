@@ -100,9 +100,10 @@ def test_fused_render_kernel_matches_xla_path():
 
 def test_psfnet_render_uses_fused_kernel_when_aligned():
     """At tile-aligned sensor resolutions the production pallas render path
-    dispatches the fused MLP+conv kernel.  render_dtype='f32' matches the XLA
-    path exactly; the production default 'bf16' (now wired through to the
-    fused kernel's MXU matmuls) stays inside the surrogate's own error band."""
+    dispatches the fused MLP+conv kernel.  render_dtype='f32' (the production
+    default — same single-pass-bf16 MXU throughput, no per-layer VPU cast,
+    DESIGN.md §4) matches the XLA path exactly; explicit 'bf16' (wired through
+    to the fused kernel) stays inside the surrogate's own error band."""
     from aadff_tpu.psfnet import PSFNet
 
     net = PSFNet("/root/reference/lenses/rf50mm/lens.json", kernel_size=11,
