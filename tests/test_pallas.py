@@ -136,3 +136,32 @@ def test_pallas_mlp_handles_ragged_n():
     assert out.shape == (1500, 121)
     ref = model.apply(variables, field)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_tile_height_eligibility():
+    """fused_tile_height is the single source of truth for fused-path
+    eligibility (PSFNet's render dispatch and bench.py's path label both
+    call it): largest of 32/16/8 dividing H when W is lane-aligned."""
+    from aadff_tpu.ops.pallas_render import TW, fused_tile_height
+
+    assert TW == 128
+    assert fused_tile_height(480, 640) == 32   # production resolution
+    assert fused_tile_height(16, 640) == 16
+    assert fused_tile_height(8, 128) == 8
+    assert fused_tile_height(12, 640) is None  # H not 8/16/32-divisible
+    assert fused_tile_height(480, 630) is None  # W not lane-aligned
+
+
+def test_render_path_label_tracks_backend_and_resolution():
+    from aadff_tpu.psfnet import PSFNet
+
+    net = PSFNet("/root/reference/lenses/rf50mm/lens.json", kernel_size=11,
+                 sensor_res=(32, 128))
+    # CPU backend -> pallas off by default -> XLA two-stage label
+    assert net.render_path() == "xla-mlp+scan(f32)"
+    assert net.render_path(use_pallas=True) == "fused-mlp+conv(f32,tile32x128)"
+    net.render_dtype = "bf16"
+    assert net.render_path(use_pallas=True) == "fused-mlp+conv(bf16,tile32x128)"
+    off = PSFNet("/root/reference/lenses/rf50mm/lens.json", kernel_size=11,
+                 sensor_res=(30, 128))  # not tile-aligned
+    assert off.render_path(use_pallas=True) == "pallas-mlp(f32)+scan"
