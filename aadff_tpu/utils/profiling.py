@@ -12,13 +12,15 @@ import time
 from collections import deque
 
 
-def enable_compilation_cache(path: str = "/tmp/jax_cache",
+def enable_compilation_cache(path: str = "/root/repo/.jax_cache",
                              min_compile_secs: int = 5) -> None:
     """Persistent XLA compilation cache — compiles survive process restarts.
 
     Essential here: remote-tunnel compiles run 1-2 min each and long jobs must
     be chunked into fresh processes (see .claude/skills/verify/SKILL.md), so
-    without a persistent cache every chunk would re-pay every compile.
+    without a persistent cache every chunk would re-pay every compile.  The
+    cache lives under the repo (gitignored), not /tmp, because /tmp does not
+    survive the machine restarts this environment is prone to.
     """
     import jax
 

@@ -27,7 +27,7 @@ jax.config.update("jax_num_cpu_devices", 8)
 # Persistent compilation cache: the suite is dominated by 3D-CNN compiles,
 # which are identical across runs (cache keys include platform/device count,
 # so CPU-mesh test entries don't collide with TPU entries).
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 import pytest  # noqa: E402
