@@ -34,8 +34,44 @@ def denormalize_imagenet(img):
     return img * std + mean
 
 
+def _native_lpips_weights_path():
+    """Converted LPIPS-VGG weights, if the user provided them (see
+    aadff_tpu/models/lpips.py: convert_lpips_vgg + save_lpips_msgpack)."""
+    import os
+
+    path = os.environ.get("AADFF_LPIPS_WEIGHTS")
+    if path:
+        return path if os.path.isfile(path) else None
+    default = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "..", "..", "ckpt", "lpips_vgg.msgpack")
+    return default if os.path.isfile(default) else None
+
+
 def batch_LPIPS(img, img_clean):
-    """Perceptual similarity; requires an `lpips` install (gated)."""
+    """Perceptual similarity (reference deeplens/utils.py:38-45 uses
+    lpips.LPIPS(net='vgg', spatial=True) and returns dist.mean()).
+
+    Preferred backend: the native Flax LPIPS-VGG
+    (aadff_tpu/models/lpips.py) with converted weights from
+    ``ckpt/lpips_vgg.msgpack`` or ``$AADFF_LPIPS_WEIGHTS``.  Falls back to a
+    real `lpips` install; gated with a clear error when neither exists
+    (pretrained perceptual weights cannot be downloaded here).
+
+    Inputs [B, 3, H, W] in [0, 1]; scaled to the [-1, 1] range LPIPS
+    expects (the reference passes [0, 1] straight through — a known quirk
+    of its script, not of the metric).
+    """
+    native = _native_lpips_weights_path()
+    if native is not None:
+        import jax.numpy as jnp
+
+        from ..models.lpips import LPIPSVgg, load_lpips_msgpack
+
+        variables = load_lpips_msgpack(native)
+        a = jnp.transpose(jnp.asarray(np.asarray(img)), (0, 2, 3, 1)) * 2 - 1
+        b = jnp.transpose(
+            jnp.asarray(np.asarray(img_clean)), (0, 2, 3, 1)) * 2 - 1
+        return float(jnp.mean(LPIPSVgg().apply(variables, a, b)))
     try:
         import lpips  # noqa: F401
     except ImportError as e:
