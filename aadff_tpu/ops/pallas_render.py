@@ -88,7 +88,8 @@ def transpose_weights(weights, compute_dtype=jnp.float32):
 
 
 def _kernel(n_layers: int, ks: int, C: int, compute_dtype, th: int, tw: int,
-            sub_pad: int, mode: str, pipe: bool, interpret: bool, *refs):
+            sub_pad: int, mode: str, pipe: bool, stacked: bool,
+            interpret: bool, *refs):
     """mode/pipe are DIAGNOSTIC knobs for scripts/bench_fused_kernel.py
     (production is mode='full', pipe=False):
       mode='mlponly'  — skip halo DMA + tap conv (isolates MLP time)
@@ -109,6 +110,12 @@ def _kernel(n_layers: int, ks: int, C: int, compute_dtype, th: int, tw: int,
 
     i = pl.program_id(0)
     j = pl.program_id(1)
+    # stacked mode: grid (H/th, W/tw, S) with the stack index s innermost.
+    # The image halo for tile (i, j) is identical for every frame s (only
+    # the field's foc_z channel varies), and VMEM scratch persists across
+    # sequential grid steps — so the halo is DMA'd once per tile (s == 0)
+    # and reused for the remaining S-1 frames.
+    s = pl.program_id(2) if stacked else None
 
     if mode != "mlponly":
         # Start the halo DMA; it overlaps with the MLP below.
@@ -120,7 +127,12 @@ def _kernel(n_layers: int, ks: int, C: int, compute_dtype, th: int, tw: int,
             halo,
             sem,
         )
-        dma.start()
+        if stacked:
+            @pl.when(s == 0)
+            def _start_halo_dma():
+                dma.start()
+        else:
+            dma.start()
 
     def mlp_chain(h):
         for li in range(n_layers):
@@ -154,14 +166,20 @@ def _kernel(n_layers: int, ks: int, C: int, compute_dtype, th: int, tw: int,
         p = p / (jnp.sum(jnp.abs(p), axis=0, keepdims=True) + 1e-12)
 
     if mode == "mlponly":
-        out_ref[:] = p.reshape(ks * ks, th, tw)[:C]
+        first = p.reshape(ks * ks, th, tw)[:C]
+        out_ref[:] = first[None] if stacked else first
         return
 
     # stage tap-major PSF tiles in scratch so the tap loop can dynamically
     # index a *ref* (dynamic_slice on values is not lowerable on TPU)
     psf_scratch[:] = p.reshape(ks * ks, th, tw)
 
-    dma.wait()
+    if stacked:
+        @pl.when(s == 0)
+        def _wait_halo_dma():
+            dma.wait()
+    else:
+        dma.wait()
 
     acc = jnp.zeros((C, th, tw), jnp.float32)
     # slab-staged taps: one lane shift per column offset dj (written through
@@ -171,7 +189,7 @@ def _kernel(n_layers: int, ks: int, C: int, compute_dtype, th: int, tw: int,
         for di in range(ks):
             patch = slab[:, di : di + th, :]               # [C, th, tw]
             acc = acc + patch * psf_scratch[di * ks + dj][None]
-    out_ref[:] = acc
+    out_ref[:] = acc[None] if stacked else acc
 
 
 @functools.partial(jax.jit, static_argnames=("ks", "interpret", "compute_dtype",
@@ -203,7 +221,7 @@ def fused_psf_render(field_cf, img_pad, weights_t, ks: int,
 
     return pl.pallas_call(
         functools.partial(_kernel, n_layers, ks, C, compute_dtype, th, tw,
-                          sub_pad, mode, pipe, interpret),
+                          sub_pad, mode, pipe, False, interpret),
         grid=(H // th, W // tw),
         in_specs=[
             pl.BlockSpec((4, th, tw), lambda i, j: (0, i, j),
@@ -266,4 +284,117 @@ def fused_render_frame(variables, img, depth, foc_dist, ks: int,
                                      interpret=interpret,
                                      compute_dtype=compute_dtype,
                                      th=th, tw=tw, mode=mode, pipe=pipe))
+    return jnp.stack(outs, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("ks", "interpret", "compute_dtype",
+                                             "th", "tw"))
+def fused_psf_render_stack(field_scf, img_pad, weights_t, ks: int,
+                           interpret: bool = False,
+                           compute_dtype=jnp.float32,
+                           th: int = TH, tw: int = TW):
+    """Whole-focal-stack variant of `fused_psf_render`: one kernel launch
+    for all S frames of one image.
+
+    field_scf: [S, 4, H, W] per-frame fields (only the foc_z channel varies
+    across S); img_pad as in `fused_psf_render` (shared by every frame).
+    Returns [S, C, H, W].
+
+    Grid is (H/th, W/tw, S) with the frame index innermost, so for each
+    spatial tile the halo is DMA'd from HBM once (s == 0) and the remaining
+    S-1 frames reuse it from VMEM scratch — S-fold less image traffic than
+    `lax.map` over `fused_psf_render`, and no per-frame XLA glue between
+    kernel launches.  Requires a sequential grid (the scratch-reuse
+    dependency), which `dimension_semantics=("arbitrary",)*3` pins down
+    explicitly.
+    """
+    S, _, H, W = field_scf.shape
+    C = img_pad.shape[0]
+    assert H % th == 0 and W % tw == 0, (H, W, th, tw)
+    sub_pad, lane_pad = halo_pads(ks, th, tw)
+    n_layers = len(weights_t)
+    weights_t = tuple((w.astype(compute_dtype), b) for w, b in weights_t)
+
+    flat_w, w_specs = [], []
+    for wT, bT in weights_t:
+        flat_w += [wT, bT]
+        w_specs += [
+            pl.BlockSpec(wT.shape, lambda i, j, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bT.shape, lambda i, j, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    return pl.pallas_call(
+        functools.partial(_kernel, n_layers, ks, C, compute_dtype, th, tw,
+                          sub_pad, "full", False, True, interpret),
+        grid=(H // th, W // tw, S),
+        in_specs=[
+            pl.BlockSpec((1, 4, th, tw), lambda i, j, s: (s, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((1, C, th, tw), lambda i, j, s: (s, 0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, C, H, W), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((C, sub_pad, lane_pad), jnp.float32),
+            pltpu.VMEM((ks * ks, th, tw), jnp.float32),
+            pltpu.VMEM((C, sub_pad, tw), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=S * (2 * H * W * sum(int(np.prod(w.shape))
+                                       for w, _ in weights_t)
+                       + 2 * H * W * ks * ks * C),
+            bytes_accessed=(S * 4 + 2 * C + S * C) * H * W * 4,
+            transcendentals=S * H * W * ks * ks,
+        ),
+    )(field_scf, img_pad, *flat_w)
+
+
+def fused_render_stack(variables, img, depth, focus_dists, ks: int,
+                       d_min: float, d_max: float, interpret: bool = False,
+                       compute_dtype=jnp.float32, th: int = TH, tw: int = TW):
+    """Full focal-stack render [N, C, H, W] + [N, S] -> [N, S, C, H, W] via
+    one `fused_psf_render_stack` launch per batch element.
+
+    Matches `PSFNet.render_stack` semantics (reference renders the stack as
+    a Python loop over `PSFNet.render`, 2_aber_aware_dff_aif.py:100-116).
+    """
+    from .pallas_mlp import flax_mlp_weights  # noqa: PLC0415
+
+    N, C, H, W = img.shape
+    S = focus_dists.shape[1]
+    pad = (ks - 1) // 2
+    sub_pad, lane_pad = halo_pads(ks, th, tw)
+    weights_t = transpose_weights(flax_mlp_weights(variables))
+
+    z = jnp.clip((depth.reshape(N, H, W) - d_min) / (d_max - d_min), 0.0, 1.0)
+    x, y = jnp.meshgrid(jnp.linspace(-1, 1, W), jnp.linspace(1, -1, H),
+                        indexing="xy")
+    foc_z = jnp.clip((focus_dists - d_min) / (d_max - d_min), 0.0, 1.0)  # [N,S]
+
+    outs = []
+    for n in range(N):
+        xyz = jnp.stack([x, y, z[n]], axis=0)                  # [3, H, W]
+        field = jnp.concatenate(
+            [jnp.broadcast_to(xyz[None], (S, 3, H, W)),
+             jnp.broadcast_to(foc_z[n][:, None, None, None], (S, 1, H, W))],
+            axis=1,
+        )
+        img_pad = jnp.pad(img[n], ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+        img_pad = jnp.pad(
+            img_pad,
+            ((0, 0), (0, sub_pad - th - (ks - 1)), (0, lane_pad - tw - (ks - 1))),
+        )
+        outs.append(fused_psf_render_stack(field, img_pad, weights_t, ks,
+                                           interpret=interpret,
+                                           compute_dtype=compute_dtype,
+                                           th=th, tw=tw))
     return jnp.stack(outs, axis=0)

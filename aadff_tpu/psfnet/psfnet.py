@@ -617,10 +617,32 @@ class PSFNet:
             self._render_jit = {}
         if key not in self._render_jit:
             frame = self._get_render_jit(use_pallas)
+            ks, d_min, d_max = self.kernel_size, self.d_min, self.d_max
+            H_res, W_res = self.lens.sensor_res
+            compute_dtype = (jnp.bfloat16 if self.render_dtype == "bf16"
+                             else jnp.float32)
+            from ..ops.pallas_render import fused_tile_height
+
+            _th = fused_tile_height(H_res, W_res)
+            fused_ok = _th is not None
+            interpret = jax.default_backend() == "cpu"
 
             @jax.jit
             def stack_impl(variables, img, depth, focus_dists):
                 # focus_dists: [B, S] -> [B, S, C, H, W]
+                N, C, H, W = img.shape
+                if use_pallas and fused_ok and (H, W) == (H_res, W_res):
+                    # one kernel launch renders the whole stack: the frame
+                    # index is the innermost grid dim, so each tile's image
+                    # halo is DMA'd once and reused for all S frames
+                    from ..ops.pallas_render import fused_render_stack
+
+                    return fused_render_stack(
+                        variables, img, depth, focus_dists,
+                        ks, d_min, d_max, interpret=interpret,
+                        compute_dtype=compute_dtype, th=_th,
+                    )
+
                 def one(fd):
                     return frame(variables, img, depth, fd)
 

@@ -165,3 +165,54 @@ def test_render_path_label_tracks_backend_and_resolution():
     off = PSFNet("/root/reference/lenses/rf50mm/lens.json", kernel_size=11,
                  sensor_res=(30, 128))  # not tile-aligned
     assert off.render_path(use_pallas=True) == "pallas-mlp(f32)+scan"
+
+
+def test_fused_render_stack_matches_frame_loop():
+    """The whole-stack fused kernel (grid (H/th, W/tw, S), frame innermost,
+    halo DMA'd once per tile at s == 0 and reused from scratch) matches a
+    per-frame loop over the single-frame fused kernel exactly — interpret-
+    mode parity so the scratch-reuse choreography can't bit-rot."""
+    from aadff_tpu.ops.pallas_render import (fused_render_frame,
+                                             fused_render_stack)
+
+    ks, S = 11, 3
+    H, W = 64, 128  # two 32-row tiles; exercises halo reuse across tiles
+    model = MLP(in_features=4, out_features=ks * ks, hidden_features=256,
+                hidden_layers=8)
+    variables = model.init(jax.random.PRNGKey(5), jnp.zeros((1, 4)))
+
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.uniform(0, 1, (2, 3, H, W)).astype(np.float32))
+    depth = jnp.asarray(-rng.uniform(500, 15000, (2, 1, H, W)).astype(np.float32))
+    focus_dists = jnp.asarray(
+        -np.sort(rng.uniform(500, 15000, (2, S)))[:, ::-1].copy(), jnp.float32)
+    d_min, d_max = -200.0, -20000.0
+
+    stack = np.asarray(fused_render_stack(
+        variables, img, depth, focus_dists, ks, d_min, d_max, interpret=True))
+    assert stack.shape == (2, S, 3, H, W)
+    for s in range(S):
+        frame = np.asarray(fused_render_frame(
+            variables, img, depth, focus_dists[:, s], ks, d_min, d_max,
+            interpret=True))
+        np.testing.assert_allclose(stack[:, s], frame, rtol=0, atol=1e-6)
+
+
+def test_psfnet_render_stack_uses_fused_stack_kernel():
+    """PSFNet.render_stack at a tile-aligned resolution with the pallas path
+    dispatches the whole-stack fused kernel and matches per-frame renders."""
+    from aadff_tpu.psfnet import PSFNet
+
+    net = PSFNet("/root/reference/lenses/rf50mm/lens.json", kernel_size=11,
+                 sensor_res=(16, 128))
+    rng = np.random.default_rng(6)
+    img = rng.uniform(0, 1, (1, 3, 16, 128)).astype(np.float32)
+    depth = -rng.uniform(500, 15000, (1, 1, 16, 128)).astype(np.float32)
+    focus_dists = np.asarray([[-2400.0, -900.0]], np.float32)
+
+    stack = np.asarray(net.render_stack(img, depth, focus_dists,
+                                        use_pallas=True))
+    for s in range(2):
+        frame = np.asarray(net.render(img, depth, focus_dists[:, s],
+                                      use_pallas=True))
+        np.testing.assert_allclose(stack[:, s], frame, rtol=0, atol=1e-6)
