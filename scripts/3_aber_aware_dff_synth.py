@@ -134,6 +134,7 @@ def main():
 
     end_epoch = min(start_epoch + args_cli.epochs_per_chunk,
                     args_cli.total_epochs)
+    budget_anchored = False
     for epoch in range(start_epoch, end_epoch):
         t0 = time.time()
         epoch_loss, n_batches, n_skipped = 0.0, 0, 0
@@ -150,6 +151,12 @@ def main():
                 jnp.asarray(depth), jnp.asarray(aif),
             )
             epoch_loss += float(losses["total"])
+            if not budget_anchored:
+                # the float() above synced the first step, so the backend is
+                # live only now — re-anchor the budget clock so a relay
+                # startup wedge (6-18 min of pre-dispatch futex, verify
+                # SKILL.md) doesn't consume the whole training budget
+                budget_anchored, t_start = True, time.time()
             n_skipped += int(losses["skipped_nonfinite"])
             n_batches += 1
         mean_loss = epoch_loss / max(n_batches, 1)
