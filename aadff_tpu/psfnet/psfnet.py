@@ -54,6 +54,10 @@ class PSFNet:
         # own model error vs ray tracing (gated by tests/test_pallas.py).
         assert render_dtype in ("bf16", "f32")
         self.render_dtype = render_dtype
+        # Whole-stack fused kernel (ops/pallas_render.fused_render_stack):
+        # opt-in only — measured SLOWER than lax.map over the per-frame
+        # fused kernel (6.1 vs 2.4 ms/frame on v5e; see _get_stack_jit).
+        self.stack_kernel = False
 
         # Training settings (reference psfnet.py:26-38)
         self.spp = 4096
@@ -613,6 +617,7 @@ class PSFNet:
 
     def _get_stack_jit(self, use_pallas: bool):
         key = (f"stack_pallas_{self.render_dtype}" if use_pallas else "stack_xla")
+        key += "_sk" if self.stack_kernel else ""
         if self._render_jit is None:
             self._render_jit = {}
         if key not in self._render_jit:
@@ -627,14 +632,23 @@ class PSFNet:
             fused_ok = _th is not None
             interpret = jax.default_backend() == "cpu"
 
+            stack_kernel = self.stack_kernel
+
             @jax.jit
             def stack_impl(variables, img, depth, focus_dists):
                 # focus_dists: [B, S] -> [B, S, C, H, W]
                 N, C, H, W = img.shape
-                if use_pallas and fused_ok and (H, W) == (H_res, W_res):
+                if (stack_kernel and use_pallas and fused_ok
+                        and (H, W) == (H_res, W_res)):
                     # one kernel launch renders the whole stack: the frame
                     # index is the innermost grid dim, so each tile's image
-                    # halo is DMA'd once and reused for all S frames
+                    # halo is DMA'd once and reused for all S frames.
+                    # OPT-IN ONLY (net.stack_kernel = True): measured 6.1
+                    # ms/frame on v5e vs 2.4 for the lax.map-of-frames path
+                    # below — the fully-sequential ("arbitrary") 3-D grid
+                    # defeats Mosaic's cross-iteration block pipelining,
+                    # costing far more than the saved S-1 halo DMAs
+                    # (docs/kernel_sweep.jsonl 'fusedstack' entry).
                     from ..ops.pallas_render import fused_render_stack
 
                     return fused_render_stack(
