@@ -30,20 +30,39 @@ eval_cell() {
   return 1
 }
 
+# Only evaluate a cell once training actually reached the target epoch:
+# run_chunked exits 1 when the chunk budget runs out first, and publishing
+# an eval of a partially-trained "best" checkpoint under the matrix tag
+# would silently corrupt the comparison.
+trained() {
+  local wd=$1 total=$2
+  local ep
+  ep=$(python -c "import json; print(json.load(open('$wd/progress.json'))['epoch'])" 2>/dev/null || echo 0)
+  [ "$ep" -ge "$total" ]
+}
+
 echo "=== [thin] $(date +%T) retrain dfv_thin ==="
 bash scripts/run_chunked.sh scripts/4_aber_aware_dff_dfv_synth.py \
   configs/aber_aware_dff_synth_thinlens.yml results/dff_synth_r3/dfv_thin 20 \
   2>&1 | tee /tmp/r3_dfv_thin.log
 sleep $COOL
-eval_cell scripts/4_aber_aware_dff_dfv_synth.py results/dff_synth_r3/dfv_thin \
-  r3_test_eval_dfv_thin "$TEST" 2>&1 | tee /tmp/r3_dfv_thin_eval.log
-sleep $COOL
+if trained results/dff_synth_r3/dfv_thin 20; then
+  eval_cell scripts/4_aber_aware_dff_dfv_synth.py results/dff_synth_r3/dfv_thin \
+    r3_test_eval_dfv_thin "$TEST" 2>&1 | tee /tmp/r3_dfv_thin_eval.log
+  sleep $COOL
+else
+  echo "=== [thin] dfv_thin incomplete; skipping eval ===" >&2
+fi
 
 echo "=== [thin] $(date +%T) retrain aif_thin ==="
 bash scripts/run_chunked.sh scripts/3_aber_aware_dff_synth.py \
   configs/aber_aware_dff_synth_thinlens.yml results/dff_synth_r3/aif_thin 20 \
   2>&1 | tee /tmp/r3_aif_thin.log
 sleep $COOL
-eval_cell scripts/3_aber_aware_dff_synth.py results/dff_synth_r3/aif_thin \
-  r3_test_eval_aif_thin "$TEST" 2>&1 | tee /tmp/r3_aif_thin_eval.log
+if trained results/dff_synth_r3/aif_thin 20; then
+  eval_cell scripts/3_aber_aware_dff_synth.py results/dff_synth_r3/aif_thin \
+    r3_test_eval_aif_thin "$TEST" 2>&1 | tee /tmp/r3_aif_thin_eval.log
+else
+  echo "=== [thin] aif_thin incomplete; skipping eval ===" >&2
+fi
 echo "=== [thin] $(date +%T) ALL DONE ==="

@@ -14,7 +14,13 @@ for i in $(seq 1 40); do
   if [ "$ep" -ge "$TOTAL" ]; then echo "[run_chunked] done at epoch $ep"; exit 0; fi
   echo "[run_chunked] chunk $i starting at epoch $ep"
   # timeout is a backstop only; --time-budget exits cleanly well before it.
-  timeout 1100 python "$SCRIPT" --config "$CONFIG" --workdir "$WORKDIR" \
+  # Budget for the worst case: relay startup wedge (6-18 min, verify
+  # SKILL.md) + the 480 s post-first-step budget + one final epoch — the
+  # budget clock is re-anchored at the first completed step, so 1100 s
+  # would SIGTERM-kill exactly the wedged-startup runs the clean
+  # --time-budget exit exists to protect (a SIGTERM'd client tends to
+  # wedge the next one's backend init).
+  timeout 2100 python "$SCRIPT" --config "$CONFIG" --workdir "$WORKDIR" \
     --total-epochs "$TOTAL" --epochs-per-chunk "$TOTAL" --time-budget 480
   rc=$?
   [ $rc -eq 124 ] || [ $rc -eq 143 ] && echo "[run_chunked] chunk killed (wedge?)"
