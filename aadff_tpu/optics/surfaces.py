@@ -247,15 +247,29 @@ def ray_reaction(ray: RayBundle, p: SurfaceParams, meta: SurfaceMeta,
             valid = (
                 jnp.sqrt(new_o[..., 0] ** 2 + new_o[..., 1] ** 2) <= meta.r
             ) & (ray.ra > 0)
+        o0 = ray.o
         o = jnp.where(valid[..., None], new_o, ray.o)
         ray = ray._replace(o=o)
         if coherent:
-            opl = jnp.where(valid, ray.opl + n_before * t, ray.opl)
-            phi = jnp.where(
+            # Standard OPD accumulation (reference surfaces.py:434-440)
+            opl_std = jnp.where(valid, ray.opl + n_before * t, ray.opl)
+            phi_std = jnp.where(
                 valid,
                 ray.phi + jnp.mod(n_before * k_wave * (t - jnp.min(t, axis=0)), 2 * np.pi),
                 ray.phi,
             )
+            # High-precision far-field branch (reference surfaces.py:429-432):
+            # when every ray propagates > 100 mm to reach the plane, the
+            # micron-scale OPD differences across the bundle drown in the
+            # ~1e4 mm magnitude of n*t, so the reference instead projects the
+            # new origin onto the incoming-origin direction,
+            # opd = -(o_new . o0) / |o0|, applied unmasked and with no phase
+            # update — reproduced verbatim.  `t.min() > 100` is data-dependent,
+            # so inside jit this is a select over both (cheap) branches.
+            opd = -jnp.sum(o * o0, axis=-1) / jnp.sqrt(jnp.sum(o0 * o0, axis=-1))
+            far_field = jnp.min(t) > 100.0
+            opl = jnp.where(far_field, ray.opl + opd, opl_std)
+            phi = jnp.where(far_field, ray.phi, phi_std)
             ray = ray._replace(opl=opl, phi=phi)
         ray = ray._replace(ra=ray.ra * valid.astype(ray.ra.dtype))
         if eta != 1:

@@ -24,6 +24,67 @@ def test_coherent_trace_accumulates_opl(rf50mm):
     assert np.isfinite(phi).all()
 
 
+def _stop_parity_case(z_src, n_rays=48, r_stop=4.0, seed=7):
+    """Run the same coherent ray bundle through the reference torch stop
+    surface and our stop `ray_reaction`; return both output rays."""
+    import torch
+
+    from aadff_tpu.constants import DEFAULT_WAVE
+    from aadff_tpu.optics.surfaces import make_surface, ray_reaction
+    from conftest import import_reference
+
+    basics_ref = import_reference("deeplens.basics")
+    surfaces_ref = import_reference("deeplens.surfaces")
+
+    rng = np.random.default_rng(seed)
+    o = np.stack([rng.uniform(-3, 3, n_rays), rng.uniform(-3, 3, n_rays),
+                  np.full(n_rays, z_src)], -1).astype(np.float32)
+    # targets spill past the stop radius so some rays get masked out
+    tgt = np.stack([rng.uniform(-1.5 * r_stop, 1.5 * r_stop, n_rays),
+                    rng.uniform(-1.5 * r_stop, 1.5 * r_stop, n_rays),
+                    np.zeros(n_rays)], -1).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    ray_t = basics_ref.Ray(torch.tensor(o), torch.tensor(d), coherent=True,
+                           device="cpu")
+    surf = surfaces_ref.Aspheric(r_stop, 0.0, c=0.0, mat1="air", mat2="air",
+                                 device="cpu")
+    out_ref = surf.ray_reaction(ray_t)
+
+    params, meta = make_surface("stop", r=r_stop, d=0.0)
+    out = ray_reaction(make_rays(o, d), params, meta, wvln=DEFAULT_WAVE,
+                       forward=True, coherent=True)
+    return out, out_ref
+
+
+def test_coherent_stop_far_field_opd_matches_reference():
+    """Far-field (t.min() > 100 mm) coherent propagation to a flat stop uses
+    the high-precision projection OPD, opd = -(o_new . o0)/|o0|, applied
+    unmasked with no phase update (reference surfaces.py:429-432)."""
+    out, out_ref = _stop_parity_case(z_src=-1000.0)
+    assert out_ref.ra.numpy().sum() < out_ref.ra.numpy().size  # masking hit
+    np.testing.assert_allclose(np.asarray(out.ra), out_ref.ra.numpy())
+    np.testing.assert_allclose(np.asarray(out.o), out_ref.o.numpy(), atol=1e-4)
+    # |opl| ~ 1e3 mm in f32: allow a few ulps at that magnitude
+    np.testing.assert_allclose(np.asarray(out.opl), out_ref.opl.numpy(),
+                               rtol=1e-6, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out.phi), out_ref.phi.numpy(),
+                               atol=1e-6)  # phase untouched in this branch
+
+
+def test_coherent_stop_near_field_opd_matches_reference():
+    """Near-field (t.min() <= 100 mm) keeps the masked opl += n*t / phase
+    accumulation (reference surfaces.py:434-440)."""
+    out, out_ref = _stop_parity_case(z_src=-50.0)
+    np.testing.assert_allclose(np.asarray(out.ra), out_ref.ra.numpy())
+    np.testing.assert_allclose(np.asarray(out.opl), out_ref.opl.numpy(),
+                               rtol=1e-6, atol=1e-4)
+    # phi wraps a ~1e4 rad argument mod 2*pi in f32: compare on the circle
+    dphi = np.asarray(out.phi) - out_ref.phi.numpy()
+    np.testing.assert_allclose(np.abs(np.exp(1j * dphi) - 1.0), 0.0, atol=0.02)
+
+
 def test_coherent_psf_accumulation():
     """Complex (coherent) splat: |sum|^2-style accumulation stays consistent
     with the incoherent path when all phases are zero."""
