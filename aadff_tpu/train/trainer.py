@@ -154,9 +154,17 @@ def validate(eval_step, state, test_lens, val_loader, n_stack, epoch, args,
     result_img_dir = os.path.join(args["results_dir"], "results")
     os.makedirs(result_img_dir, exist_ok=True)
 
+    # LPIPS is a first-class quality metric in the reference
+    # (deeplens/utils.py:15-45) but needs pretrained VGG weights; emit it
+    # when a converted weights file exists, skip it cleanly otherwise.
+    from ..utils.quality import batch_LPIPS, lpips_available
+
+    use_lpips = lpips_available()
+
     sums = {k: 0.0 for k in [
         "abs_rel", "sq_rel", "mse", "mae", "rmse", "rmse_log",
-        "acc1", "acc2", "acc3", "psnr", "ssim"]}
+        "acc1", "acc2", "acc3", "psnr", "ssim"]
+        + (["lpips"] if use_lpips else [])}
     n_val = 0
     val_time = 0.0
 
@@ -188,6 +196,9 @@ def validate(eval_step, state, test_lens, val_loader, n_stack, epoch, args,
         sums["acc3"] += M.mask_accuracy_k(pd, gt, 3, tm)
         sums["psnr"] += M.mask_psnr(pred_aif, aif)
         sums["ssim"] += M.mask_ssim(pred_aif, aif)
+        if use_lpips:
+            sums["lpips"] += batch_LPIPS(np.clip(pred_aif, 0.0, 1.0),
+                                         np.asarray(aif))
         n_val += 1
 
         if save_images:

@@ -47,6 +47,36 @@ def _native_lpips_weights_path():
     return default if os.path.isfile(default) else None
 
 
+def lpips_available() -> bool:
+    """True when `batch_LPIPS` has a working backend: converted native
+    weights (ckpt/lpips_vgg.msgpack or $AADFF_LPIPS_WEIGHTS) or a real
+    `lpips` install.  Lets callers (e.g. `train.trainer.validate`) emit the
+    metric when possible and skip it cleanly otherwise."""
+    if _native_lpips_weights_path() is not None:
+        return True
+    try:
+        import lpips  # noqa: F401
+    except ImportError:
+        return False
+    return getattr(lpips, "__file__", None) is not None
+
+
+def _load_native_lpips(path):
+    """Load-once cache: validate loops call batch_LPIPS per image."""
+    global _NATIVE_LPIPS_CACHE
+    try:
+        cached_path, variables = _NATIVE_LPIPS_CACHE
+        if cached_path == path:
+            return variables
+    except NameError:
+        pass
+    from ..models.lpips import load_lpips_msgpack
+
+    variables = load_lpips_msgpack(path)
+    _NATIVE_LPIPS_CACHE = (path, variables)
+    return variables
+
+
 def batch_LPIPS(img, img_clean):
     """Perceptual similarity (reference deeplens/utils.py:38-45 uses
     lpips.LPIPS(net='vgg', spatial=True) and returns dist.mean()).
@@ -65,9 +95,9 @@ def batch_LPIPS(img, img_clean):
     if native is not None:
         import jax.numpy as jnp
 
-        from ..models.lpips import LPIPSVgg, load_lpips_msgpack
+        from ..models.lpips import LPIPSVgg
 
-        variables = load_lpips_msgpack(native)
+        variables = _load_native_lpips(native)
         a = jnp.transpose(jnp.asarray(np.asarray(img)), (0, 2, 3, 1)) * 2 - 1
         b = jnp.transpose(
             jnp.asarray(np.asarray(img_clean)), (0, 2, 3, 1)) * 2 - 1

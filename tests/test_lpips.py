@@ -137,6 +137,43 @@ def test_batch_lpips_native_backend(tmp_path, monkeypatch):
     assert d_diff > d_same
 
 
+def test_validate_emits_lpips_when_weights_exist(tmp_path, monkeypatch):
+    """`train.trainer.validate` reports LPIPS when converted weights exist
+    and skips the metric cleanly otherwise (reference treats LPIPS as a
+    first-class quality metric, deeplens/utils.py:15-45)."""
+    from aadff_tpu.psfnet import ThinLens
+    from aadff_tpu.train.trainer import validate
+
+    feats, lins = _random_vgg_state_dicts(seed=4)
+    path = str(tmp_path / "lpips_vgg.msgpack")
+    save_lpips_msgpack(convert_lpips_vgg(feats, lins), path)
+
+    H = W = 32
+    n_stack = 4
+    rng = np.random.default_rng(5)
+    aif = rng.uniform(0, 1, (1, 3, H, W)).astype(np.float32)
+    depth = rng.uniform(0.5, 3.0, (1, 1, H, W)).astype(np.float32)
+    lens = ThinLens(50.0, 1.8, 7, [4.0, 4.0], (H, W))
+
+    def eval_step(state, stack, fds):
+        # echo frame 0 as the AiF prediction; constant depth
+        return {"pred_depth": np.full((1, 1, H, W), 1.5, np.float32),
+                "pred_AiF_img": np.transpose(np.asarray(stack)[:, 0],
+                                             (0, 3, 1, 2))}
+
+    args = {"results_dir": str(tmp_path)}
+    monkeypatch.setenv("AADFF_LPIPS_WEIGHTS", path)
+    scores = validate(eval_step, None, lens, [(aif, depth)], n_stack,
+                      epoch=1, args=args, save_images=False)
+    assert "lpips" in scores and np.isfinite(scores["lpips"])
+    assert scores["lpips"] >= 0.0
+
+    monkeypatch.setenv("AADFF_LPIPS_WEIGHTS", "/nonexistent/lpips.msgpack")
+    scores2 = validate(eval_step, None, lens, [(aif, depth)], n_stack,
+                       epoch=1, args=args, save_images=False)
+    assert "lpips" not in scores2  # skipped cleanly, suite unchanged
+
+
 def test_batch_lpips_still_gated_without_weights(monkeypatch):
     """Without converted weights or a real lpips install the gate still
     raises its clear error (environment has neither)."""
