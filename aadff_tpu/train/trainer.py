@@ -251,6 +251,27 @@ def load_checkpoint(ckpt_dir: str, state: TrainState, name: str = "last"):
     # see scripts/strip_ckpt.py); fill any missing fields from the caller's
     # freshly-initialised state so `--eval-only` loads them directly.
     full = dict(to_state_dict(state))
+    if "opt_state" not in sd and "step" in sd:
+        # Resuming *training* from a stripped checkpoint: a fresh opt_state
+        # would restart both the LR-schedule position and Adam's
+        # bias-correction count at 0, silently resuming at near-peak LR
+        # (round-3 advisor finding).  Re-seed every optimizer `count` from
+        # the saved step so schedules continue where training stopped.
+        # Adam moments still start from zero — prefer resuming from the full
+        # `state` checkpoint when one exists.
+        step = np.asarray(sd["step"], np.int32)
+
+        def _seed_counts(node):
+            if isinstance(node, dict):
+                return {k: (step if k == "count" else _seed_counts(v))
+                        for k, v in node.items()}
+            return node
+
+        full["opt_state"] = _seed_counts(full["opt_state"])
+        logging.warning(
+            "checkpoint %s is stripped of opt_state: optimizer counts "
+            "re-seeded to step %d (schedule position kept; Adam moments "
+            "reset)", name, int(step))
     full.update(sd)
     return from_state_dict(state, full)
 
