@@ -288,11 +288,13 @@ def fused_render_frame(variables, img, depth, foc_dist, ks: int,
 
 
 @functools.partial(jax.jit, static_argnames=("ks", "interpret", "compute_dtype",
-                                             "th", "tw"))
+                                             "th", "tw", "dim_semantics"))
 def fused_psf_render_stack(field_scf, img_pad, weights_t, ks: int,
                            interpret: bool = False,
                            compute_dtype=jnp.float32,
-                           th: int = TH, tw: int = TW):
+                           th: int = TH, tw: int = TW,
+                           dim_semantics=("arbitrary", "arbitrary",
+                                          "arbitrary")):
     """Whole-focal-stack variant of `fused_psf_render`: one kernel launch
     for all S frames of one image.
 
@@ -304,9 +306,15 @@ def fused_psf_render_stack(field_scf, img_pad, weights_t, ks: int,
     spatial tile the halo is DMA'd from HBM once (s == 0) and the remaining
     S-1 frames reuse it from VMEM scratch — S-fold less image traffic than
     `lax.map` over `fused_psf_render`, and no per-frame XLA glue between
-    kernel launches.  Requires a sequential grid (the scratch-reuse
-    dependency), which `dimension_semantics=("arbitrary",)*3` pins down
-    explicitly.
+    kernel launches.
+
+    `dim_semantics` controls the grid annotation: the default all-arbitrary
+    grid is fully sequential; ("parallel", "parallel", "arbitrary") keeps
+    only the scratch-reuse dependency (halo written at s == 0, read at
+    s > 0, always within one (i, j) tile) sequential and lets Mosaic
+    pipeline blocks across the independent spatial tiles — the r3 verdict's
+    suggested fix for the all-arbitrary grid defeating cross-iteration
+    pipelining.
     """
     S, _, H, W = field_scf.shape
     C = img_pad.shape[0]
@@ -346,7 +354,7 @@ def fused_psf_render_stack(field_scf, img_pad, weights_t, ks: int,
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=tuple(dim_semantics),
         ),
         cost_estimate=pl.CostEstimate(
             flops=S * (2 * H * W * sum(int(np.prod(w.shape))
@@ -360,7 +368,8 @@ def fused_psf_render_stack(field_scf, img_pad, weights_t, ks: int,
 
 def fused_render_stack(variables, img, depth, focus_dists, ks: int,
                        d_min: float, d_max: float, interpret: bool = False,
-                       compute_dtype=jnp.float32, th: int = TH, tw: int = TW):
+                       compute_dtype=jnp.float32, th: int = TH, tw: int = TW,
+                       dim_semantics=("arbitrary", "arbitrary", "arbitrary")):
     """Full focal-stack render [N, C, H, W] + [N, S] -> [N, S, C, H, W] via
     one `fused_psf_render_stack` launch per batch element.
 
@@ -396,5 +405,6 @@ def fused_render_stack(variables, img, depth, focus_dists, ks: int,
         outs.append(fused_psf_render_stack(field, img_pad, weights_t, ks,
                                            interpret=interpret,
                                            compute_dtype=compute_dtype,
-                                           th=th, tw=tw))
+                                           th=th, tw=tw,
+                                           dim_semantics=tuple(dim_semantics)))
     return jnp.stack(outs, axis=0)

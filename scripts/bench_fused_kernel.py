@@ -13,7 +13,9 @@ prep — not just the ~30 ms RTT; see docs/kernel_sweep.jsonl `method` field.)
 
 Usage: python scripts/bench_fused_kernel.py [config ...]
   config: fused-f32-8x128 | fused-bf16-32x128 | mlponly-bf16-32x128 |
-  convonly-f32-32x128 | fusedpipe-bf16-32x128 | twostage-bf16 | ... ;
+  convonly-f32-32x128 | fusedpipe-bf16-32x128 | twostage-bf16 |
+  fusedstack-f32-32x128 (whole-stack kernel, all-arbitrary grid) |
+  fusedstackpp-f32-32x128 (spatial dims "parallel", S "arbitrary") | ... ;
   no args = the full default sweep.  Results append to
   docs/kernel_sweep.jsonl (one JSON line per config, with RTT context).
 """
@@ -52,7 +54,25 @@ def build_fn(net, spec):
     d_min, d_max = net.d_min, net.d_max
     model = net.model
 
-    if kind in ("fused", "fusedpipe", "mlponly", "convonly"):
+    if kind in ("fusedstack", "fusedstackpp"):
+        # whole-stack kernel: one launch renders all K frames of one image.
+        # 'pp' variant annotates the spatial grid dims "parallel" so Mosaic
+        # can pipeline blocks across tiles (r3 verdict #4 experiment); only
+        # the S dim (the scratch-reuse dependency) stays "arbitrary".
+        th, tw = (int(v) for v in parts[2].split("x"))
+        sem = (("parallel", "parallel", "arbitrary")
+               if kind == "fusedstackpp"
+               else ("arbitrary", "arbitrary", "arbitrary"))
+        from aadff_tpu.ops.pallas_render import fused_render_stack
+
+        @jax.jit
+        def fn(variables, img, depth, fds):
+            return fused_render_stack(
+                variables, img, depth, fds[None], KS, d_min, d_max,
+                compute_dtype=compute_dtype, th=th, tw=tw,
+                dim_semantics=sem,
+            )[0]
+    elif kind in ("fused", "fusedpipe", "mlponly", "convonly"):
         th, tw = (int(v) for v in parts[2].split("x"))
         mode = kind if kind in ("mlponly", "convonly") else "full"
         pipe = kind == "fusedpipe"

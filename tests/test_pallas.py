@@ -197,6 +197,13 @@ def test_fused_render_stack_matches_frame_loop():
             interpret=True))
         np.testing.assert_allclose(stack[:, s], frame, rtol=0, atol=1e-6)
 
+    # the parallel-spatial-dims grid annotation (bench 'fusedstackpp') is a
+    # scheduling hint only — results must be identical
+    stack_pp = np.asarray(fused_render_stack(
+        variables, img, depth, focus_dists, ks, d_min, d_max, interpret=True,
+        dim_semantics=("parallel", "parallel", "arbitrary")))
+    np.testing.assert_allclose(stack_pp, stack, rtol=0, atol=0)
+
 
 def test_psfnet_render_stack_uses_fused_stack_kernel():
     """PSFNet.render_stack with the opt-in whole-stack kernel enabled
