@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--val-dir", default=None,
                     help="override the validation scene dir (e.g. the "
                          "held-out test split datasets/SynthMiddlebury/test)")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override the config peak learning rate (recipe "
+                         "sweeps; the cosine still decays over total-epochs)")
     ap.add_argument("--time-budget", type=float, default=600.0,
                     help="stop cleanly after the first epoch that ends past "
                          "this many seconds (a SIGTERM kill can wedge the "
@@ -80,6 +83,8 @@ def main():
     args["results_dir"] = args_cli.workdir
     if args_cli.val_dir:
         args["SynthMiddlebury_val"] = args_cli.val_dir
+    if args_cli.lr is not None:
+        args["lr"] = args_cli.lr
     set_seed(126)
 
     progress_path = os.path.join(args_cli.workdir, "progress.json")

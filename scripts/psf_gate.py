@@ -49,8 +49,22 @@ def main():
         "date": time.strftime("%Y-%m-%d"),
     }
     print(json.dumps(rec, indent=2))
-    with open(os.path.join(REPO, "PSF_GATE.json"), "w") as f:
-        json.dump(rec, f, indent=2)
+    # PSF_GATE.json accumulates one record per (ckpt, lattice) so both the
+    # converted-reference and from-scratch checkpoints keep their committed
+    # numbers at both the reduced and full-reference lattices (r3 verdict #3b)
+    gate_path = os.path.join(REPO, "PSF_GATE.json")
+    try:
+        with open(gate_path) as f:
+            prev = json.load(f)
+        records = prev["records"] if isinstance(prev, dict) and "records" in prev \
+            else [prev]
+    except (OSError, ValueError):
+        records = []
+    records = [r for r in records
+               if (r.get("ckpt"), r.get("lattice")) != (rec["ckpt"], rec["lattice"])]
+    records.append(rec)
+    with open(gate_path, "w") as f:
+        json.dump({"records": records}, f, indent=2)
         f.write("\n")
 
 

@@ -4,9 +4,10 @@
 # chunk exits CLEANLY via --time-budget and a fresh process resumes from the
 # checkpoint; the persistent compile cache makes restarts compile-free).
 #
-# usage: scripts/run_chunked.sh <train_script> <config> <workdir> [total_epochs]
+# usage: scripts/run_chunked.sh <train_script> <config> <workdir> [total_epochs] [extra train args...]
 set -u
 SCRIPT=$1; CONFIG=$2; WORKDIR=$3; TOTAL=${4:-20}
+shift $(( $# > 4 ? 4 : $# ))
 cd "$(dirname "$0")/.."
 
 for i in $(seq 1 40); do
@@ -21,7 +22,7 @@ for i in $(seq 1 40); do
   # --time-budget exit exists to protect (a SIGTERM'd client tends to
   # wedge the next one's backend init).
   timeout 2100 python "$SCRIPT" --config "$CONFIG" --workdir "$WORKDIR" \
-    --total-epochs "$TOTAL" --epochs-per-chunk "$TOTAL" --time-budget 480
+    --total-epochs "$TOTAL" --epochs-per-chunk "$TOTAL" --time-budget 480 "$@"
   rc=$?
   [ $rc -eq 124 ] || [ $rc -eq 143 ] && echo "[run_chunked] chunk killed (wedge?)"
   sleep 120  # cooldown: back-to-back TPU clients wedge at backend init
