@@ -1,0 +1,140 @@
+"""Multi-step 1-vs-8-device training-trajectory equivalence (SURVEY.md §4
+oracle (d), extended from the single-step checks in test_models.py): ten AiF
+train steps through the in-graph non-finite guard, with BatchNorm running
+stats and a cosine LR schedule.
+
+Two claims, asserted at the strength each deserves:
+
+* A mid-trajectory checkpoint save/restore on the sharded run is a PERFECT
+  continuation — losses and final params bitwise-identical to the same run
+  without the round-trip (save_checkpoint persists the full TrainState incl.
+  the optimizer's schedule position, so nothing can drift).
+* The 1-device and 8-device runs follow the same trajectory: losses match
+  step-for-step to f32 all-reduce reassociation tolerance, and the final
+  parameter divergence stays well below the distance the optimizer actually
+  travelled.  (Leaf-wise tight tolerances are the wrong assertion here: Adam
+  rescales each coordinate by 1/sqrt(v), so the ~1e-7 per-step reduction
+  reassociation noise grows to ~1e-3 absolute on small weights over ten
+  steps — measured, and inherent to data-parallel f32 training, not a bug.)
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def _l2(tree_a, tree_b):
+    return float(jnp.sqrt(sum(
+        jnp.sum((jnp.asarray(x) - jnp.asarray(y)) ** 2)
+        for x, y in zip(jax.tree.leaves(tree_a), jax.tree.leaves(tree_b)))))
+
+
+def test_aif_train_trajectory_1_vs_8_devices(tmp_path):
+    from aadff_tpu.models.aifnet import AiFDepthNet
+    from aadff_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from aadff_tpu.train.trainer import (
+        create_train_state,
+        load_checkpoint,
+        make_aif_train_step,
+        save_checkpoint,
+    )
+
+    model = AiFDepthNet(n_stack=4)
+    B, S, H, W = 8, 4, 64, 64
+    n_steps = 10
+    rng = np.random.default_rng(11)
+    batches = []
+    for i in range(n_steps):
+        stack = rng.uniform(0, 1, (B, S, H, W, 3)).astype(np.float32)
+        if i == 4:
+            stack[:] = np.nan  # guard exercise: both runs must skip this step
+        depth = rng.uniform(0.6, 2.9, (B, 1, H, W)).astype(np.float32)
+        aif = rng.uniform(0, 1, (B, 3, H, W)).astype(np.float32)
+        fp = np.broadcast_to(
+            np.linspace(0.5, 3.0, S, dtype=np.float32), (B, S)).copy()
+        batches.append((stack, fp, depth, aif))
+
+    optimizer = optax.adam(
+        optax.cosine_decay_schedule(1e-3, decay_steps=n_steps))
+
+    def fresh_state():
+        return create_train_state(
+            model, optimizer, jnp.asarray(batches[0][0][:1]),
+            jnp.asarray(batches[0][1][:1]), jax.random.PRNGKey(7))
+
+    step = make_aif_train_step(model, optimizer, task="D_FS")
+    params0 = jax.tree.map(jnp.array, fresh_state().params)
+
+    # ---- single device --------------------------------------------------
+    s1 = fresh_state()
+    losses1 = []
+    for stack, fp, depth, aif in batches:
+        s1, l = step(s1, jnp.asarray(stack), jnp.asarray(fp),
+                     jnp.asarray(depth), jnp.asarray(aif))
+        losses1.append((float(l["total"]), float(l["skipped_nonfinite"])))
+
+    # ---- 8-device mesh, with/without a mid-run checkpoint round-trip ----
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+
+    def run8(with_ckpt_roundtrip):
+        s8 = replicate(mesh, fresh_state())
+        losses = []
+        for i, (stack, fp, depth, aif) in enumerate(batches):
+            b = shard_batch(mesh,
+                            dict(stack=stack, fp=fp, depth=depth, aif=aif))
+            s8, l = step(s8, b["stack"], b["fp"], b["depth"], b["aif"])
+            losses.append((float(l["total"]), float(l["skipped_nonfinite"])))
+            if with_ckpt_roundtrip and i == 5:
+                # resume + sharding interplay: the full TrainState (params +
+                # BN stats + optimizer incl. schedule position + step)
+                # survives a checkpoint round-trip mid-trajectory
+                save_checkpoint(str(tmp_path), s8, "traj")
+                s8 = replicate(mesh,
+                               load_checkpoint(str(tmp_path), fresh_state(),
+                                               "traj"))
+        return s8, losses
+
+    s8, losses8 = run8(with_ckpt_roundtrip=False)
+    s8r, losses8r = run8(with_ckpt_roundtrip=True)
+
+    # the checkpoint round-trip is a perfect continuation: bitwise-equal
+    # losses on every step and bitwise-equal final params/BN stats
+    assert losses8r == losses8
+    for x, y in zip(jax.tree.leaves((s8.params, s8.batch_stats)),
+                    jax.tree.leaves((s8r.params, s8r.batch_stats))):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # the guard fired exactly once, on the same step, in both runs
+    assert losses1[4][1] == 1.0 and losses8[4][1] == 1.0
+    assert sum(s for _, s in losses1) == 1.0
+    assert sum(s for _, s in losses8) == 1.0
+    assert losses1[4][0] == 0.0 and losses8[4][0] == 0.0  # reported loss zeroed
+
+    # f32 sharded-reduction reassociation puts per-step loss deltas at
+    # rel 1e-4..5e-4 with no growth trend (measured)
+    for k, ((a, _), (b, _)) in enumerate(zip(losses1, losses8)):
+        assert abs(a - b) <= 1e-6 + 2e-3 * abs(a), (k, a, b)
+    assert int(s1.step) == int(s8.step) == n_steps
+
+    # same trajectory, not chaos: the 1-device and 8-device parameter
+    # movements point the same way.  (The raw divergence norm is NOT small —
+    # measured ~0.37x the movement — because early Adam updates are
+    # sign(g)*lr for v~0 coordinates, and noise-level gradients flip sign
+    # under reduction reassociation.  The movement-vector cosine is the
+    # statistic that separates "same trajectory + coordinate noise"
+    # (measured 0.93) from decorrelated runs (~0).)
+    diffs = [(jnp.asarray(a) - jnp.asarray(b)).ravel()
+             for a, b in zip(jax.tree.leaves(s1.params),
+                             jax.tree.leaves(params0))]
+    diffs8 = [(jnp.asarray(a) - jnp.asarray(b)).ravel()
+              for a, b in zip(jax.tree.leaves(s8.params),
+                              jax.tree.leaves(params0))]
+    m1, m8 = jnp.concatenate(diffs), jnp.concatenate(diffs8)
+    movement = float(jnp.linalg.norm(m1))
+    divergence = _l2(s1.params, s8.params)
+    cos = float(jnp.vdot(m1, m8)
+                / (jnp.linalg.norm(m1) * jnp.linalg.norm(m8)))
+    assert movement > 1e-3, movement  # the run actually trained
+    assert cos > 0.75, (cos, divergence, movement)
+    assert divergence < 0.6 * movement, (divergence, movement)
