@@ -369,9 +369,15 @@ def fused_psf_render_stack(field_scf, img_pad, weights_t, ks: int,
 def fused_render_stack(variables, img, depth, focus_dists, ks: int,
                        d_min: float, d_max: float, interpret: bool = False,
                        compute_dtype=jnp.float32, th: int = TH, tw: int = TW,
-                       dim_semantics=("arbitrary", "arbitrary", "arbitrary")):
+                       dim_semantics=("parallel", "parallel", "arbitrary")):
     """Full focal-stack render [N, C, H, W] + [N, S] -> [N, S, C, H, W] via
     one `fused_psf_render_stack` launch per batch element.
+
+    The default grid annotation marks the two spatial dims "parallel" so
+    Mosaic pipelines blocks across tiles; only the frame dim (whose halo
+    scratch is reused across S) stays "arbitrary".  Measured 1.763 ms/frame
+    vs 2.392 for the all-arbitrary grid and 2.388 for per-frame launches
+    (docs/kernel_sweep.jsonl, 2026-08-19 same-session slope A/B).
 
     Matches `PSFNet.render_stack` semantics (reference renders the stack as
     a Python loop over `PSFNet.render`, 2_aber_aware_dff_aif.py:100-116).

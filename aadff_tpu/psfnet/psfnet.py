@@ -55,9 +55,10 @@ class PSFNet:
         assert render_dtype in ("bf16", "f32")
         self.render_dtype = render_dtype
         # Whole-stack fused kernel (ops/pallas_render.fused_render_stack):
-        # opt-in only — measured SLOWER than lax.map over the per-frame
-        # fused kernel (6.1 vs 2.4 ms/frame on v5e; see _get_stack_jit).
-        self.stack_kernel = False
+        # production default — with spatial grid dims annotated "parallel"
+        # it measures 1.76 ms/frame on v5e vs 2.39 for lax.map over the
+        # per-frame fused kernel (see _get_stack_jit).
+        self.stack_kernel = True
 
         # Training settings (reference psfnet.py:26-38)
         self.spp = 4096
@@ -643,12 +644,14 @@ class PSFNet:
                     # one kernel launch renders the whole stack: the frame
                     # index is the innermost grid dim, so each tile's image
                     # halo is DMA'd once and reused for all S frames.
-                    # OPT-IN ONLY (net.stack_kernel = True): measured 6.1
-                    # ms/frame on v5e vs 2.4 for the lax.map-of-frames path
-                    # below — the fully-sequential ("arbitrary") 3-D grid
-                    # defeats Mosaic's cross-iteration block pipelining,
-                    # costing far more than the saved S-1 halo DMAs
-                    # (docs/kernel_sweep.jsonl 'fusedstack' entry).
+                    # PRODUCTION DEFAULT: with the spatial grid dims marked
+                    # "parallel" (fused_render_stack's default) this measures
+                    # 1.763 ms/frame on v5e vs 2.388 for the lax.map path
+                    # below and 2.392 for an all-"arbitrary" grid — Mosaic
+                    # pipelines blocks across tiles while the sequential S
+                    # dim still reuses each tile's halo (kernel_sweep.jsonl
+                    # 'fusedstackpp', 2026-08-19). Opt out with
+                    # net.stack_kernel = False.
                     from ..ops.pallas_render import fused_render_stack
 
                     return fused_render_stack(

@@ -206,14 +206,13 @@ def test_fused_render_stack_matches_frame_loop():
 
 
 def test_psfnet_render_stack_uses_fused_stack_kernel():
-    """PSFNet.render_stack with the opt-in whole-stack kernel enabled
-    (net.stack_kernel = True) dispatches fused_render_stack and matches
-    per-frame renders."""
+    """PSFNet.render_stack default (stack_kernel=True, the production path)
+    dispatches fused_render_stack and matches per-frame renders."""
     from aadff_tpu.psfnet import PSFNet
 
     net = PSFNet("/root/reference/lenses/rf50mm/lens.json", kernel_size=11,
                  sensor_res=(16, 128))
-    net.stack_kernel = True  # opt-in: default production path is lax.map
+    assert net.stack_kernel is True  # production default since r4
     rng = np.random.default_rng(6)
     img = rng.uniform(0, 1, (1, 3, 16, 128)).astype(np.float32)
     depth = -rng.uniform(500, 15000, (1, 1, 16, 128)).astype(np.float32)
@@ -227,15 +226,14 @@ def test_psfnet_render_stack_uses_fused_stack_kernel():
         np.testing.assert_allclose(stack[:, s], frame, rtol=0, atol=1e-6)
 
 
-def test_psfnet_render_stack_default_is_per_frame_loop():
-    """With the default stack_kernel=False, render_stack takes the
-    lax.map-of-frames path (the production choice, see the opt-in note in
-    psfnet.py) and still matches per-frame renders."""
+def test_psfnet_render_stack_per_frame_loop_opt_out():
+    """With stack_kernel=False (opt-out), render_stack takes the
+    lax.map-of-frames path and still matches per-frame renders."""
     from aadff_tpu.psfnet import PSFNet
 
     net = PSFNet("/root/reference/lenses/rf50mm/lens.json", kernel_size=11,
                  sensor_res=(16, 128))
-    assert net.stack_kernel is False
+    net.stack_kernel = False
     rng = np.random.default_rng(7)
     img = rng.uniform(0, 1, (1, 3, 16, 128)).astype(np.float32)
     depth = -rng.uniform(500, 15000, (1, 1, 16, 128)).astype(np.float32)
