@@ -19,18 +19,23 @@ from .layers import TorchConv, TorchConvTranspose, torch_max_pool
 
 
 class Conv3dBN(nn.Module):
-    """conv3d + BN + ReLU (reference AiFNet.py:7-24)."""
+    """conv3d + BN + ReLU (reference AiFNet.py:7-24).
+
+    `dtype` is the computation dtype (params stay f32; Flax BatchNorm computes
+    batch statistics in f32 internally regardless).
+    """
 
     features: int
     k: Tuple[int, int, int] = (1, 1, 1)
     s: Tuple[int, int, int] = (1, 1, 1)
     p: Tuple[int, int, int] = (0, 0, 0)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = TorchConv(self.features, self.k, self.s, self.p)(x)
+        x = TorchConv(self.features, self.k, self.s, self.p, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(x)
+                         epsilon=1e-5, dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -41,28 +46,35 @@ class Trans3dBN(nn.Module):
     k: Tuple[int, int, int] = (1, 1, 1)
     s: Tuple[int, int, int] = (1, 1, 1)
     p: Tuple[int, int, int] = (0, 0, 0)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = TorchConvTranspose(self.features[0], self.k, self.s, self.p)(x)
+        x = TorchConvTranspose(self.features[0], self.k, self.s, self.p,
+                               dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(x)
+                         epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.relu(x)
-        return Conv3dBN(self.features[1], (3, 3, 3), (1, 1, 1), (1, 1, 1))(x, train)
+        return Conv3dBN(self.features[1], (3, 3, 3), (1, 1, 1), (1, 1, 1),
+                        dtype=self.dtype)(x, train)
 
 
 class Mixed(nn.Module):
     """Inception block (reference AiFNet.py:57-88)."""
 
     out_ch: Tuple[int, int, int, int, int, int]
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         oc = self.out_ch
-        b0 = Conv3dBN(oc[0])(x, train)
-        b1 = Conv3dBN(oc[2], (3, 3, 3), p=(1, 1, 1))(Conv3dBN(oc[1])(x, train), train)
-        b2 = Conv3dBN(oc[4], (3, 3, 3), p=(1, 1, 1))(Conv3dBN(oc[3])(x, train), train)
-        b3 = Conv3dBN(oc[5])(
+        dt = self.dtype
+        b0 = Conv3dBN(oc[0], dtype=dt)(x, train)
+        b1 = Conv3dBN(oc[2], (3, 3, 3), p=(1, 1, 1), dtype=dt)(
+            Conv3dBN(oc[1], dtype=dt)(x, train), train)
+        b2 = Conv3dBN(oc[4], (3, 3, 3), p=(1, 1, 1), dtype=dt)(
+            Conv3dBN(oc[3], dtype=dt)(x, train), train)
+        b3 = Conv3dBN(oc[5], dtype=dt)(
             torch_max_pool(x, (3, 3, 3), (1, 1, 1), (1, 1, 1)), train
         )
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
@@ -83,29 +95,38 @@ class AiFDepthNet(nn.Module):
     stage2: str = "attention"
     normalize_attention: bool = False
     remat: bool = False  # rematerialise Mixed blocks (memory for FLOPs)
+    dtype: Any = None  # compute dtype for the conv trunk (e.g. jnp.bfloat16);
+    # params stay f32, attention head + losses stay f32.  The train step is
+    # HBM-bound (docs/DESIGN.md §9), so bf16 activations cut step traffic.
 
     @nn.compact
     def __call__(self, stack, focus_position, train: bool = False):
         # stack: [B, S, H, W, C] with C = n_channels (3, or 4 with stack index)
-        x = stack
+        x = stack if self.dtype is None else stack.astype(self.dtype)
         B, S, H, W, C = x.shape
+        dt = self.dtype
 
         MixedBlock = nn.remat(Mixed, static_argnums=(2,)) if self.remat else Mixed
 
-        conv1a = Conv3dBN(64, (7, 7, 7), (1, 2, 2), (3, 3, 3))(x, train)
+        conv1a = Conv3dBN(64, (7, 7, 7), (1, 2, 2), (3, 3, 3), dtype=dt)(x, train)
         h = torch_max_pool(conv1a, (1, 3, 3), (1, 2, 2), (0, 1, 1))
-        conv2c = Conv3dBN(192, (3, 3, 3), p=(1, 1, 1))(Conv3dBN(64)(h, train), train)
+        conv2c = Conv3dBN(192, (3, 3, 3), p=(1, 1, 1), dtype=dt)(
+            Conv3dBN(64, dtype=dt)(h, train), train)
         h = torch_max_pool(conv2c, (1, 3, 3), (1, 2, 2), (0, 1, 1))
-        mix3c = MixedBlock((128, 128, 192, 32, 96, 64), name="Mixed_3c")(
-            MixedBlock((64, 96, 128, 16, 32, 32), name="Mixed_3b")(h, train),
+        mix3c = MixedBlock((128, 128, 192, 32, 96, 64), dtype=dt, name="Mixed_3c")(
+            MixedBlock((64, 96, 128, 16, 32, 32), dtype=dt, name="Mixed_3b")(
+                h, train),
             train,
         )
         h = torch_max_pool(mix3c, (1, 3, 3), (1, 2, 2), (0, 1, 1))
-        mix4f = MixedBlock((256, 160, 320, 32, 128, 128), name="Mixed_4f")(
-            MixedBlock((112, 144, 288, 32, 64, 64), name="Mixed_4e")(
-                MixedBlock((128, 128, 256, 24, 64, 64), name="Mixed_4d")(
-                    MixedBlock((160, 112, 224, 24, 64, 64), name="Mixed_4c")(
-                        MixedBlock((192, 96, 208, 16, 48, 64), name="Mixed_4b")(
+        mix4f = MixedBlock((256, 160, 320, 32, 128, 128), dtype=dt,
+                           name="Mixed_4f")(
+            MixedBlock((112, 144, 288, 32, 64, 64), dtype=dt, name="Mixed_4e")(
+                MixedBlock((128, 128, 256, 24, 64, 64), dtype=dt, name="Mixed_4d")(
+                    MixedBlock((160, 112, 224, 24, 64, 64), dtype=dt,
+                               name="Mixed_4c")(
+                        MixedBlock((192, 96, 208, 16, 48, 64), dtype=dt,
+                                   name="Mixed_4b")(
                             h, train
                         ), train
                     ), train
@@ -113,30 +134,39 @@ class AiFDepthNet(nn.Module):
             ), train
         )
         h = torch_max_pool(mix4f, (1, 2, 2), (1, 2, 2), (0, 0, 0))
-        mix5c = MixedBlock((384, 192, 384, 48, 128, 128), name="Mixed_5c")(
-            MixedBlock((256, 160, 320, 32, 128, 128), name="Mixed_5b")(h, train),
+        mix5c = MixedBlock((384, 192, 384, 48, 128, 128), dtype=dt,
+                           name="Mixed_5c")(
+            MixedBlock((256, 160, 320, 32, 128, 128), dtype=dt, name="Mixed_5b")(
+                h, train),
             train,
         )
 
         # Decoder (reference AiFNet.py:206-254)
-        up_5c = Trans3dBN((64, 64), (3, 4, 4), (1, 2, 2), (1, 1, 1))(mix5c, train)
-        up_4f = Conv3dBN(64)(mix4f, train)
+        up_5c = Trans3dBN((64, 64), (3, 4, 4), (1, 2, 2), (1, 1, 1), dtype=dt)(
+            mix5c, train)
+        up_4f = Conv3dBN(64, dtype=dt)(mix4f, train)
         cat = jnp.concatenate([up_5c, up_4f], axis=-1)
-        up_5c4f = Trans3dBN((64, 64), (3, 4, 4), (1, 2, 2), (1, 1, 1))(cat, train)
-        up_3c = Conv3dBN(64)(mix3c, train)
+        up_5c4f = Trans3dBN((64, 64), (3, 4, 4), (1, 2, 2), (1, 1, 1), dtype=dt)(
+            cat, train)
+        up_3c = Conv3dBN(64, dtype=dt)(mix3c, train)
         cat = jnp.concatenate([up_5c4f, up_3c], axis=-1)
-        up_5c4f3c = Trans3dBN((32, 32), (3, 4, 4), (1, 2, 2), (1, 1, 1))(cat, train)
-        up_2c = Conv3dBN(32)(conv2c, train)
+        up_5c4f3c = Trans3dBN((32, 32), (3, 4, 4), (1, 2, 2), (1, 1, 1), dtype=dt)(
+            cat, train)
+        up_2c = Conv3dBN(32, dtype=dt)(conv2c, train)
         cat = jnp.concatenate([up_5c4f3c, up_2c], axis=-1)
-        up_5c4f3c2c = Trans3dBN((32, 16), (3, 4, 4), (1, 2, 2), (1, 1, 1))(cat, train)
-        up_1a = Conv3dBN(16)(conv1a, train)
+        up_5c4f3c2c = Trans3dBN((32, 16), (3, 4, 4), (1, 2, 2), (1, 1, 1),
+                                dtype=dt)(cat, train)
+        up_1a = Conv3dBN(16, dtype=dt)(conv1a, train)
         cat = jnp.concatenate([up_5c4f3c2c, up_1a], axis=-1)
-        up_final = TorchConvTranspose(32, (3, 4, 4), (1, 2, 2), (1, 1, 1))(cat)
-        out = TorchConv(self.n_classes, (3, 3, 3), (1, 1, 1), (1, 1, 1))(up_final)
+        up_final = TorchConvTranspose(32, (3, 4, 4), (1, 2, 2), (1, 1, 1),
+                                      dtype=dt)(cat)
+        out = TorchConv(self.n_classes, (3, 3, 3), (1, 1, 1), (1, 1, 1),
+                        dtype=dt)(up_final)
         # out: [B, S, H', W', n_classes]
 
-        # crop to input size (transposed convs can overshoot by stride-1)
-        out = out[:, :, :H, :W, :]
+        # crop to input size (transposed convs can overshoot by stride-1);
+        # the attention head and losses always run in f32
+        out = out[:, :, :H, :W, :].astype(jnp.float32)
 
         if self.stage2.upper() == "ATTENTION":
             d_maps = focus_position.reshape(B, S, 1, 1)

@@ -9,7 +9,7 @@ tests/test_models.py.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -21,13 +21,19 @@ def _tup(v, n):
 
 
 class TorchConv(nn.Module):
-    """Conv with torch-style symmetric integer padding (any spatial rank)."""
+    """Conv with torch-style symmetric integer padding (any spatial rank).
+
+    `dtype` is the computation dtype (params stay f32); pass jnp.bfloat16 for
+    the mixed-precision path — the DFF train step is HBM-bound
+    (docs/DESIGN.md §9), so halving activation width is the main lever.
+    """
 
     features: int
     kernel_size: Sequence[int]
     strides: Sequence[int] = None
     padding: Sequence[int] = None
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -37,6 +43,7 @@ class TorchConv(nn.Module):
         return nn.Conv(
             self.features, tuple(self.kernel_size), strides=strides,
             padding=[(p, p) for p in pad], use_bias=self.use_bias,
+            dtype=self.dtype,
         )(x)
 
 
@@ -54,6 +61,7 @@ class TorchConvTranspose(nn.Module):
     strides: Sequence[int] = None
     padding: Sequence[int] = None
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -65,6 +73,9 @@ class TorchConvTranspose(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (*k, in_feat, self.features)
         )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         kernel = jnp.flip(kernel, axis=tuple(range(n)))
         spatial = "DHW"[-n:] if n <= 3 else None
         dn = (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C")
@@ -75,7 +86,7 @@ class TorchConvTranspose(nn.Module):
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias
+            y = y + (bias.astype(self.dtype) if self.dtype is not None else bias)
         return y
 
 

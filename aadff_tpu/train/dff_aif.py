@@ -50,7 +50,12 @@ def train(args):
 
     task = {"depth": "D_FS", "aif": "A_FS", "depth_aif": "DA_FS"}[args["pred_name"]]
     n_stack = args["n_stack"]
-    model = AiFDepthNet(n_stack=n_stack)
+    # compute_dtype: bf16 runs the conv trunk in bfloat16 (params/losses f32;
+    # the step is HBM-bound, docs/DESIGN.md §9). Default f32 = reference parity.
+    model = AiFDepthNet(
+        n_stack=n_stack,
+        dtype=jnp.bfloat16 if args.get("compute_dtype") == "bf16" else None,
+    )
 
     train_set, val_set = get_dataset(args)
     train_loader = NumpyLoader(train_set, batch_size=args["bs"], shuffle=True)

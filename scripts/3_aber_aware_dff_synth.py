@@ -56,6 +56,10 @@ def main():
     ap.add_argument("--lr", type=float, default=None,
                     help="override the config peak learning rate (recipe "
                          "sweeps; the cosine still decays over total-epochs)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="run the conv trunk in bfloat16 (params/optimizer/"
+                         "losses stay f32) — the step is HBM-bound, see "
+                         "docs/DESIGN.md §9")
     ap.add_argument("--time-budget", type=float, default=600.0,
                     help="stop cleanly after the first epoch that ends past "
                          "this many seconds (a SIGTERM kill can wedge the "
@@ -100,7 +104,8 @@ def main():
     train_lens, test_lens = get_lens(args)
     task = {"depth": "D_FS", "aif": "A_FS", "depth_aif": "DA_FS"}[args["pred_name"]]
     n_stack = args["n_stack"]
-    model = AiFDepthNet(n_stack=n_stack)
+    model = AiFDepthNet(n_stack=n_stack,
+                        dtype=jnp.bfloat16 if args_cli.bf16 else None)
 
     train_set, val_set = get_dataset(args)
     train_loader = NumpyLoader(train_set, batch_size=args["bs"], shuffle=True,

@@ -55,6 +55,7 @@ CKPT = os.path.join(REPO, "ckpt/rf50mm/psfnet_480x640_ks11.msgpack")
 B, S, H, W, KS = 2, 8, 480, 640, 11
 if os.environ.get("AADFF_PROFILE_TINY"):
     B, S, H, W = 1, 4, 32, 128
+BF16 = bool(os.environ.get("AADFF_BF16"))  # bf16 conv trunk (DESIGN.md §9)
 K1, K2 = 1, 3
 
 
@@ -77,7 +78,7 @@ def build(which: str):
     if which == "aif":
         from aadff_tpu.models.aifnet import AiFDepthNet, compute_loss
 
-        model = AiFDepthNet(n_stack=S)
+        model = AiFDepthNet(n_stack=S, dtype=jnp.bfloat16 if BF16 else None)
         state = create_train_state(model, optimizer, stack0[:1], fds[:1],
                                    jax.random.PRNGKey(0))
 
@@ -162,6 +163,7 @@ def main():
         variants = build(which)
         rtt = measure_rtt()
         rec = {"model": which, "B": B, "S": S, "res": [H, W],
+               "compute_dtype": "bf16" if BF16 else "f32",
                "link_roundtrip_ms": round(rtt, 2),
                "method": f"fori_loop slope K1={K1} K2={K2}",
                "date": time.strftime("%Y-%m-%d")}

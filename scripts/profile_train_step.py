@@ -18,6 +18,14 @@ fixed dispatch cost.  Inputs vary per repetition (the tunnel caches repeated
 identical executions) and per loop iteration (so XLA cannot collapse the
 loop body).
 
+CAVEAT (docs/DESIGN.md §9): the fwd/grad stages hold params loop-invariant,
+so XLA hoists per-step weight-layout work out of the loop and they
+UNDER-REPORT (AiF grad reads 231 ms vs a true 467 ms — see
+scripts/profile_step_variants.py).  Only `step`/`step_render` (params vary
+per iteration) reflect real training cost; fwd/grad are lower bounds.
+
+Set AADFF_BF16=1 to profile the bf16-trunk variant of AiFDepthNet.
+
 Output: one JSON line per model appended to docs/train_step_profile.jsonl
 with the decomposition in ms and derived steps/s.
 
@@ -53,6 +61,7 @@ CKPT = os.path.join(REPO, "ckpt/rf50mm/psfnet_480x640_ks11.msgpack")
 B, S, H, W, KS = 2, 8, 480, 640, 11
 if os.environ.get("AADFF_PROFILE_TINY"):  # CPU smoke test of the machinery
     B, S, H, W = 1, 4, 32, 128
+BF16 = bool(os.environ.get("AADFF_BF16"))  # bf16 conv trunk (DESIGN.md §9)
 K1, K2 = 1, 3
 
 
@@ -81,7 +90,7 @@ def build_stages(which: str):
         from aadff_tpu.models.aifnet import AiFDepthNet, compute_loss
         from aadff_tpu.train.trainer import make_aif_train_step
 
-        model = AiFDepthNet(n_stack=S)
+        model = AiFDepthNet(n_stack=S, dtype=jnp.bfloat16 if BF16 else None)
         state = create_train_state(model, optimizer, stack0[:1], fds[:1],
                                    jax.random.PRNGKey(0))
         train_step = make_aif_train_step(model, optimizer, task="D_FS")
@@ -186,6 +195,7 @@ def profile(which: str):
     rtt_ms = measure_rtt()
     print(f"[{which}] link RTT {rtt_ms:.1f} ms", file=sys.stderr)
     rec = {"model": which, "B": B, "S": S, "res": [H, W], "ks": KS,
+           "compute_dtype": "bf16" if BF16 else "f32",
            "link_roundtrip_ms": round(rtt_ms, 2),
            "method": f"fori_loop slope K1={K1} K2={K2}",
            "date": time.strftime("%Y-%m-%d")}
@@ -204,9 +214,10 @@ def profile(which: str):
         print(f"[{which}] {name}: {ms:.1f} ms "
               f"(stage wall {time.perf_counter() - t0:.0f}s)",
               file=sys.stderr)
-    # derived decomposition
-    rec["bwd_ms"] = round(rec["grad_ms"] - rec["fwd_ms"], 1)
-    rec["opt_guard_ms"] = round(rec["step_ms"] - rec["grad_ms"], 1)
+    # NOTE: no derived bwd/opt splits — fwd/grad under-report (loop-invariant
+    # params let XLA hoist per-step weight-layout work; DESIGN.md §9), so
+    # differences against them mis-attribute.  step/step_render are the
+    # trustworthy rows.
     rec["steps_per_sec_device"] = round(1e3 / rec["step_render_ms"], 3)
     out_path = os.path.join(REPO, "docs", "train_step_profile.jsonl")
     with open(out_path, "a") as f:

@@ -125,6 +125,47 @@ def test_aifnet_train_step_decreases_loss(aif_setup):
     assert int(state.step) == 5
 
 
+def test_aifnet_bf16_matches_f32(aif_setup):
+    """bf16 trunk (dtype=jnp.bfloat16): same params, same topology, outputs
+    close to the f32 forward; params/outputs stay f32 at the boundary."""
+    model, variables, stack, fp = aif_setup
+    model16 = AiFDepthNet(n_stack=4, dtype=jnp.bfloat16)
+    out32 = model.apply(variables, stack, fp, train=False)
+    out16 = model16.apply(variables, stack, fp, train=False)
+    for k in ("pred_depth", "pred_AiF_img"):
+        assert out16[k].dtype == jnp.float32
+        # depth head is a convex combination over [0.5, 3.0]; bf16 trunk noise
+        # moves attention logits slightly — bound the output displacement
+        err = float(jnp.max(jnp.abs(out16[k] - out32[k])))
+        assert err < 0.15, (k, err)
+    # same param pytree: bf16 run must not have created/needed new params
+    jax.tree_util.tree_map(lambda a: None, variables["params"])
+
+
+def test_aifnet_bf16_train_step_finite_and_learns(aif_setup):
+    import optax
+
+    from aadff_tpu.train.trainer import create_train_state, make_aif_train_step
+
+    _, _, stack, fp = aif_setup
+    model16 = AiFDepthNet(n_stack=4, dtype=jnp.bfloat16)
+    optimizer = optax.adam(1e-3)
+    state = create_train_state(model16, optimizer, stack, fp, jax.random.PRNGKey(1))
+    step = make_aif_train_step(model16, optimizer, task="D_FS")
+    depth = jnp.ones((2, 1, 64, 64)) * 1.7
+    aif = jnp.zeros((2, 3, 64, 64))
+    losses0 = None
+    for _ in range(5):
+        state, losses = step(state, stack, fp, depth, aif)
+        if losses0 is None:
+            losses0 = float(losses["total"])
+    assert np.isfinite(float(losses["total"]))
+    assert float(losses["total"]) < losses0
+    # params stayed f32 (mixed precision keeps master weights full-width)
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.dtype == jnp.float32
+
+
 def test_dfvnet_shapes():
     model = DFVNet(level=2, use_diff=1)
     stack = jnp.zeros((1, 4, 64, 64, 3))
