@@ -36,7 +36,10 @@ REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 LENS = os.path.join(REPO, "lenses/rf50mm.json")
 CKPT = os.path.join(REPO, "ckpt/rf50mm/psfnet_480x640_ks11.msgpack")
 H, W, KS = 480, 640, 11
-K1, K2 = 8, 24
+# slope frame counts; override to probe S-dependence (e.g. AADFF_K2=30 to
+# reproduce bench.py's S-slope upper point)
+K1 = int(os.environ.get("AADFF_K1", 8))
+K2 = int(os.environ.get("AADFF_K2", 24))
 # W=640 = 5*128 fixes tw=128; the pixel-batch widening axis is th.
 DEFAULT_SWEEP = [
     "fused-f32-8x128", "fused-bf16-8x128",
@@ -87,6 +90,16 @@ def build_fn(net, spec):
                     mode=mode, pipe=pipe,
                 )[0]
             return jax.lax.map(one, fds)
+    elif kind == "prodstack":
+        # the PRODUCTION entry (PSFNet.render_stack -> stack_impl ->
+        # fused_render_stack with its default grid semantics) under the same
+        # K-slope protocol as the raw-kernel configs above — separates
+        # protocol effects (bench.py measures an S-slope on this same entry)
+        # from path effects when the two disagree.
+        net.render_dtype = dtype
+
+        def fn(variables, img, depth, fds):
+            return net.render_stack(img, depth, fds[None])
     elif kind == "twostage":
         from aadff_tpu.ops.pallas_mlp import flax_mlp_weights, mlp_psf_pallas
         from aadff_tpu.ops.render import local_psf_render
