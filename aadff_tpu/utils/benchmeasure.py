@@ -35,7 +35,7 @@ def measure_rtt(n_reps=15):
     return float(np.median(ts)) * 1e3
 
 
-def slope_rate(run, n_short, n_long, n_reps=5, n_warm=2):
+def slope_rate(run, n_short, n_long, n_reps=5, n_warm=2, detail=None):
     """Device rate (units/sec) via the two-point slope.
 
     run(size, i) must execute the size-`size` program with rep-distinct
@@ -44,13 +44,22 @@ def slope_rate(run, n_short, n_long, n_reps=5, n_warm=2):
     at 0, with the first `n_warm` calls covering compile + warm-up.
 
     Returns (rate, times) where times maps size -> median seconds of the
-    timed reps.  When the slope comes out below the timer's noise floor
-    (the work delta drowned in link jitter — seen with KB-sized programs;
-    includes epsilon-positive dt, which would yield an absurd rate), falls
-    back to the long program's wall rate, which under- rather than
-    over-states the device rate.
+    timed reps.  The slope itself is the median over all n_reps^2 pairwise
+    time differences (Hodges-Lehmann-style), not the difference of medians:
+    the work delta between the two program sizes is tens of ms on a link
+    whose per-dispatch jitter is multiple ms, and the pairwise median both
+    resists outlier reps and yields a dispersion estimate.  Pass a dict as
+    `detail` to receive it: "slope_spread_pct" (IQR of the pairwise slopes
+    as % of the median — treat the rate as unreliable when this is large,
+    say >15%) and "times_s" (the raw per-rep seconds per size).
+
+    When the slope comes out below the timer's noise floor (the work delta
+    drowned in link jitter — seen with KB-sized programs; includes
+    epsilon-positive dt, which would yield an absurd rate), falls back to
+    the long program's wall rate, which under- rather than over-states the
+    device rate.
     """
-    times = {}
+    times, raw = {}, {}
     for size in (n_short, n_long):
         i = 0
         for _ in range(n_warm):
@@ -62,8 +71,16 @@ def slope_rate(run, n_short, n_long, n_reps=5, n_warm=2):
             run(size, i)
             ts.append(time.perf_counter() - t0)
             i += 1
+        raw[size] = ts
         times[size] = float(np.median(ts))
-    dt = times[n_long] - times[n_short]
+    diffs = np.asarray([tl - ts for tl in raw[n_long] for ts in raw[n_short]])
+    dt = float(np.median(diffs))
+    if detail is not None:
+        detail["times_s"] = {k: [round(t, 6) for t in v]
+                             for k, v in raw.items()}
+        q1, q3 = np.percentile(diffs, [25, 75])
+        detail["slope_spread_pct"] = (
+            round(100.0 * float(q3 - q1) / dt, 1) if dt > 1e-4 else None)
     if dt <= 1e-4:  # 0.1 ms — below anything measurable over this link
         return n_long / times[n_long], times
     return (n_long - n_short) / dt, times

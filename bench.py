@@ -100,7 +100,8 @@ def measure_reference_cpu(n_frames=2):
     return 1.0 / dt  # frames/sec
 
 
-def measure_ours(n_reps=5, s_long=30):
+def measure_ours(n_reps=int(os.environ.get("AADFF_NREPS", 5)),
+                 s_long=int(os.environ.get("AADFF_SLONG", 30))):
     """Measure the production renderer two ways (VERDICT r2 weak #1: a wall
     number on a 1-40 ms/dispatch tunnelled link is not a benchmark):
 
@@ -145,7 +146,9 @@ def measure_ours(n_reps=5, s_long=30):
     def run(s, i):
         net.render_stack(imgs[i], depth, fds[s]).block_until_ready()
 
-    compute_fps, times = slope_rate(run, N_STACK, s_long, n_reps=n_reps)
+    detail = {}
+    compute_fps, times = slope_rate(run, N_STACK, s_long, n_reps=n_reps,
+                                    detail=detail)
     wall_fps = N_STACK / times[N_STACK]
     ms_frame = 1e3 / compute_fps
 
@@ -176,6 +179,10 @@ def measure_ours(n_reps=5, s_long=30):
         "device_ms_per_frame": round(ms_frame, 3),
         "link_roundtrip_ms": round(rtt_ms, 2),
         "mfu_pct_v5e_bf16": round(mfu_pct, 1),
+        # IQR of the pairwise-rep slopes as % of the median — the slope rests
+        # on a tens-of-ms time delta over a link with multi-ms jitter, so a
+        # large spread (>15%) marks the run as unreliable (benchmeasure.py).
+        "slope_spread_pct": detail.get("slope_spread_pct"),
     }
 
 

@@ -161,11 +161,13 @@ def main():
             if i == 0:  # first call per size = compile
                 compile_s[0] += time.perf_counter() - t0
 
-        rate_fps, t_med = slope_rate(run, K1, K2)
+        detail = {}
+        rate_fps, t_med = slope_rate(run, K1, K2, detail=detail)
         ms_frame = 1e3 / rate_fps
         rec = {
             "config": spec, "device_ms_per_frame": round(ms_frame, 3),
             "compute_fps": round(rate_fps, 1),
+            "slope_spread_pct": detail.get("slope_spread_pct"),
             "dispatch_ms": {k: round(v * 1e3, 1) for k, v in t_med.items()},
             "fixed_ms_per_dispatch": round(
                 t_med[K1] * 1e3 - K1 * ms_frame, 1),
