@@ -44,8 +44,9 @@ def bench_render(net):
     def run(s, i):
         net.render_stack(imgs[i], depth, fds[s]).block_until_ready()
 
-    compute_fps, times = slope_rate(run, S, s_long)
-    return S / times[S], compute_fps
+    detail = {}
+    compute_fps, times = slope_rate(run, S, s_long, detail=detail)
+    return S / times[S], compute_fps, detail.get("slope_spread_pct")
 
 
 def bench_psfs(net, spp=4096, n_short=128, n_long=512):
@@ -147,13 +148,14 @@ def main():
     # artifact is interpretable across sessions.
     rtt_ms = measure_rtt(n_reps=10)
 
-    wall_fps, compute_fps = bench_render(net)
+    wall_fps, compute_fps, spread_pct = bench_render(net)
     report = {
         "device": str(jax.devices()[0]),
         "date": time.strftime("%Y-%m-%d"),
         "link_roundtrip_ms": round(rtt_ms, 2),
         "render_dtype": net.render_dtype,
         "render_fps_device_480x640_ks11": round(compute_fps, 2),
+        "render_slope_spread_pct": spread_pct,
         "render_fps_wall_480x640_ks11": round(wall_fps, 2),
         "raytraced_psfs_per_sec_spp4096": round(bench_psfs(net), 1),
         "psfnet_fit_iters_per_sec_bs128_spp4096": round(bench_psfnet_fit(net), 2),

@@ -41,6 +41,38 @@ def test_inverted_slope_falls_back_to_wall_rate(monkeypatch):
     assert np.isclose(rate, 30 / times[30])
 
 
+def test_detail_reports_jitter_spread(monkeypatch):
+    """The pairwise-slope median resists per-call jitter and the detail dict
+    quantifies it: a jitter-free run reports ~0% spread, a jittered run a
+    positive one, and both recover the true per-unit rate."""
+    import aadff_tpu.utils.benchmeasure as bm
+
+    clock = [0.0]
+    monkeypatch.setattr(bm.time, "perf_counter", lambda: clock[0])
+
+    detail = {}
+    rate, _ = bm.slope_rate(_fake_clock_run(1e-3, 50e-3, clock), 10, 30,
+                            detail=detail)
+    assert np.isclose(rate, 1000.0)
+    assert detail["slope_spread_pct"] == 0.0
+    assert set(detail["times_s"]) == {10, 30}
+    assert all(len(v) == 5 for v in detail["times_s"].values())
+
+    calls = [0]
+
+    def jittered(size, i):
+        # +-3 ms alternating dispatch jitter on 1 ms/unit of device work
+        calls[0] += 1
+        clock[0] += 50e-3 + size * 1e-3 + (3e-3 if calls[0] % 2 else -3e-3)
+
+    detail = {}
+    rate, _ = bm.slope_rate(jittered, 10, 30, detail=detail)
+    # median pairwise slope still lands on the true rate despite the jitter
+    assert np.isclose(rate, 1000.0)
+    assert detail["slope_spread_pct"] is not None
+    assert detail["slope_spread_pct"] >= 0.0
+
+
 def test_distinct_rep_indices_per_size():
     seen = []
 
