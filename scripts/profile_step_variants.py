@@ -161,6 +161,10 @@ def build(which: str):
 def main():
     for which in (sys.argv[1:] or ["aif"]):
         variants = build(which)
+        only = os.environ.get("AADFF_VARIANTS")  # e.g. "full_step" for a
+        if only:                                 # same-session dtype A/B
+            variants = {k: v for k, v in variants.items()
+                        if k in only.split(",")}
         rtt = measure_rtt()
         rec = {"model": which, "B": B, "S": S, "res": [H, W],
                "compute_dtype": "bf16" if BF16 else "f32",

@@ -34,8 +34,10 @@ run "A/B prodstack @S10-30 (bench.py points)" \
   env AADFF_K1=10 AADFF_K2=30 python scripts/bench_fused_kernel.py prodstack-f32
 run "A/B prodstack @S8-48 (wide spread)" \
   env AADFF_K1=8 AADFF_K2=48 python scripts/bench_fused_kernel.py prodstack-f32
+run "f32 train-step (same-session control)" \
+  env AADFF_VARIANTS=full_step python scripts/profile_step_variants.py
 run "bf16 train-step A/B" \
-  env AADFF_BF16=1 python scripts/profile_step_variants.py
+  env AADFF_BF16=1 AADFF_VARIANTS=full_step python scripts/profile_step_variants.py
 run "bench.py" python bench.py
 run "benchmark_suite" python scripts/benchmark_suite.py
 run "graft entry + dryrun" python __graft_entry__.py
