@@ -78,6 +78,12 @@ def main():
                                  if metrics else None),
             "val_best_mse_epoch": (min(metrics, key=lambda m: m["mse"])["epoch"]
                                    if metrics else None),
+            # last-5-validation AbsRel band, the round-3 band-separation
+            # statistic (RESULTS_DFF.md "Round-3 retraining matrix")
+            "val_abs_rel_band_last5": (
+                [round(min(m["abs_rel"] for m in metrics[-5:]), 4),
+                 round(max(m["abs_rel"] for m in metrics[-5:]), 4)]
+                if len(metrics) >= 2 else None),
             "test_eval": test, "retex_eval": retex,
             "r3_test_eval_20ep": r3,
         }
