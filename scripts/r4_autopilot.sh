@@ -22,16 +22,20 @@ echo "=== [autopilot] $(date +%T) campaign gone; settling ==="
 sleep 120
 
 python scripts/summarize_r4_aif.py
-git add docs/results_dff/r4_aif60* \
-        docs/results_dff/r4_test_eval_aif60*.json \
-        docs/results_dff/r4_retex_eval_aif60*.json 2>/dev/null
+for f in docs/results_dff/r4_aif60* \
+         docs/results_dff/r4_test_eval_aif60*.json \
+         docs/results_dff/r4_retex_eval_aif60*.json; do
+  [ -e "$f" ] && git add "$f"
+done
 git commit -q -m "r4 AiF 60-epoch campaign: final artifacts + held-out evals" \
   || echo "[autopilot] nothing to commit for campaign"
 
 bash scripts/r4_perf_session.sh 2>&1 | tee /tmp/r4_perf.log
 
-git add BENCH_SUITE.json docs/kernel_sweep.jsonl \
-        docs/step_variant_profile.jsonl 2>/dev/null
+for f in BENCH_SUITE.json docs/kernel_sweep.jsonl \
+         docs/step_variant_profile.jsonl; do
+  [ -e "$f" ] && git add "$f"
+done
 git commit -q -m "Post-campaign perf session: protocol three-way, wide-spread slope, bf16 step A/B, refreshed suite" \
   || echo "[autopilot] nothing to commit for perf"
 echo "=== [autopilot] ALL DONE $(date +%T) ==="
