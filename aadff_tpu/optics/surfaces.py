@@ -266,7 +266,16 @@ def ray_reaction(ray: RayBundle, p: SurfaceParams, meta: SurfaceMeta,
             # opd = -(o_new . o0) / |o0|, applied unmasked and with no phase
             # update — reproduced verbatim.  `t.min() > 100` is data-dependent,
             # so inside jit this is a select over both (cheap) branches.
-            opd = -jnp.sum(o * o0, axis=-1) / jnp.sqrt(jnp.sum(o0 * o0, axis=-1))
+            # Safe-divide: the expression is evaluated for BOTH branches of
+            # the select below, and grad through jnp.where backpropagates
+            # NaN from the unselected branch — a ray whose origin sits at
+            # the coordinate origin (|o0| = 0, e.g. an on-axis chief ray at
+            # a d=0 first surface) would give 0/0 and poison every gradient
+            # of a differentiated coherent trace even in near field.  When
+            # the far-field branch IS selected, t.min() > 100 guarantees
+            # |o0| >> 1, so the clamp never changes a selected value.
+            o0_norm = jnp.sqrt(jnp.sum(o0 * o0, axis=-1))
+            opd = -jnp.sum(o * o0, axis=-1) / jnp.maximum(o0_norm, EPSILON)
             far_field = jnp.min(t) > 100.0
             opl = jnp.where(far_field, ray.opl + opd, opl_std)
             phi = jnp.where(far_field, ray.phi, phi_std)

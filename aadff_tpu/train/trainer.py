@@ -159,7 +159,7 @@ def validate(eval_step, state, test_lens, val_loader, n_stack, epoch, args,
     # when a converted weights file exists, skip it cleanly otherwise.
     from ..utils.quality import batch_LPIPS, lpips_available
 
-    use_lpips = lpips_available()
+    use_lpips = lpips_available(native_only=True)
 
     sums = {k: 0.0 for k in [
         "abs_rel", "sq_rel", "mse", "mae", "rmse", "rmse_log",

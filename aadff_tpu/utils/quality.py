@@ -47,13 +47,19 @@ def _native_lpips_weights_path():
     return default if os.path.isfile(default) else None
 
 
-def lpips_available() -> bool:
+def lpips_available(native_only: bool = False) -> bool:
     """True when `batch_LPIPS` has a working backend: converted native
-    weights (ckpt/lpips_vgg.msgpack or $AADFF_LPIPS_WEIGHTS) or a real
-    `lpips` install.  Lets callers (e.g. `train.trainer.validate`) emit the
-    metric when possible and skip it cleanly otherwise."""
+    weights (ckpt/lpips_vgg.msgpack or $AADFF_LPIPS_WEIGHTS) or — unless
+    ``native_only`` — a real `lpips` install.  Callers that must not risk a
+    weights download at metric time (e.g. `train.trainer.validate`, which
+    runs inside long training jobs) pass ``native_only=True``: an importable
+    `lpips` package still fetches its pretrained weights on first
+    construction, which offline turns "emit the metric when possible" into
+    an exception mid-validate."""
     if _native_lpips_weights_path() is not None:
         return True
+    if native_only:
+        return False
     try:
         import lpips  # noqa: F401
     except ImportError:
@@ -119,7 +125,14 @@ def batch_LPIPS(img, img_clean):
         )
     import torch
 
-    loss_fn = lpips.LPIPS(net="alex")
+    # Match the reference metric (deeplens/utils.py:38-45: net='vgg',
+    # spatial=True) and build the net once — validate loops call this per
+    # image, and constructing lpips.LPIPS reloads pretrained weights.
+    global _TORCH_LPIPS_CACHE
+    try:
+        loss_fn = _TORCH_LPIPS_CACHE
+    except NameError:
+        loss_fn = _TORCH_LPIPS_CACHE = lpips.LPIPS(net="vgg", spatial=True)
     a = torch.tensor(np.asarray(img)) * 2 - 1
     b = torch.tensor(np.asarray(img_clean)) * 2 - 1
     with torch.no_grad():

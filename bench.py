@@ -204,21 +204,27 @@ def main():
             )
 
     # The tunnelled TPU is single-tenant: if another process (e.g. a chunked
-    # training campaign) holds the chip, backend init fails outright.  The
+    # training campaign) holds the chip, BACKEND INIT fails outright.  The
     # campaign scripts free the chip for ~150 s between chunks, so retry in
     # a FRESH process (jax backend init is once-per-process) a few times
-    # before giving up.
+    # before giving up.  Only a failed device probe takes the retry path —
+    # once the backend is up, an exception from measure_ours() is a real bug
+    # (missing checkpoint, bad env var, ...) and must surface immediately,
+    # not after 4 x 180 s re-execs.
     try:
-        m = measure_ours()
+        import jax
+
+        jax.devices()
     except Exception as e:
         attempt = int(os.environ.get("AADFF_BENCH_ATTEMPT", 0))
         if attempt >= 4:
             raise
-        print(f"[bench] device init/measure failed ({e!r}); chip may be "
+        print(f"[bench] device init failed ({e!r}); chip may be "
               f"busy — retry {attempt + 1}/4 in 180 s", file=sys.stderr)
         time.sleep(180)
         os.environ["AADFF_BENCH_ATTEMPT"] = str(attempt + 1)
         os.execv(sys.executable, [sys.executable] + sys.argv)
+    m = measure_ours()
     # value = device-time fps (the trustworthy number — the wall number on
     # this tunnelled link varies with session RTT, see measure_ours); the
     # wall fps and RTT ride along so the split is visible in the artifact.

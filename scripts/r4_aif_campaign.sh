@@ -81,7 +81,20 @@ eval_cell() {  # workdir tag valdir
     timeout 2400 python scripts/3_aber_aware_dff_synth.py --workdir "$wd" \
       --eval-only best --val-dir "$valdir"
     if [ -f "$wd/eval_final.json" ]; then
-      cp "$wd/eval_final.json" "$OUT/$tag.json"
+      # Stamp the cell's actual epoch count into the published artifact: the
+      # *aif60 tag names the 60-epoch operating point, but a deadline break
+      # above can leave a cell mid-training (r4 first pass: ab=28, thin=31),
+      # and an unstamped copy would assert a budget the checkpoint never had.
+      python - "$wd" "$OUT/$tag.json" <<'PYEOF'
+import json, sys
+wd, out = sys.argv[1], sys.argv[2]
+d = json.load(open(f"{wd}/eval_final.json"))
+try:
+    d["trained_epochs"] = json.load(open(f"{wd}/progress.json"))["epoch"]
+except Exception:
+    d["trained_epochs"] = None
+json.dump(d, open(out, "w"), indent=1)
+PYEOF
       echo "wrote $OUT/$tag.json"; sleep $COOL; return 0
     fi
     sleep $COOL

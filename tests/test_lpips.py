@@ -174,6 +174,25 @@ def test_validate_emits_lpips_when_weights_exist(tmp_path, monkeypatch):
     assert "lpips" not in scores2  # skipped cleanly, suite unchanged
 
 
+def test_lpips_available_native_only_ignores_pip_install(monkeypatch):
+    """validate() gates LPIPS on converted native weights only
+    (native_only=True): a merely-importable `lpips` package is NOT a safe
+    backend there — constructing lpips.LPIPS downloads pretrained weights,
+    which offline would turn a skippable metric into a mid-validate crash,
+    and its AlexNet default is a different metric than the native VGG."""
+    import sys
+    import types
+
+    from aadff_tpu.utils import quality
+
+    monkeypatch.setenv("AADFF_LPIPS_WEIGHTS", "/nonexistent/lpips.msgpack")
+    fake = types.ModuleType("lpips")
+    fake.__file__ = "/fake/site-packages/lpips/__init__.py"
+    monkeypatch.setitem(sys.modules, "lpips", fake)
+    assert quality.lpips_available() is True
+    assert quality.lpips_available(native_only=True) is False
+
+
 def test_batch_lpips_still_gated_without_weights(monkeypatch):
     """Without converted weights or a real lpips install the gate still
     raises its clear error (environment has neither)."""
