@@ -35,7 +35,7 @@ def measure_rtt(n_reps=15):
     return float(np.median(ts)) * 1e3
 
 
-def slope_rate(run, n_short, n_long, n_reps=5, n_warm=2, detail=None):
+def slope_rate(run, n_short, n_long, n_reps=None, n_warm=2, detail=None):
     """Device rate (units/sec) via the two-point slope.
 
     run(size, i) must execute the size-`size` program with rep-distinct
@@ -58,21 +58,52 @@ def slope_rate(run, n_short, n_long, n_reps=5, n_warm=2, detail=None):
     epsilon-positive dt, which would yield an absurd rate), falls back to
     the long program's wall rate, which under- rather than over-states the
     device rate.
+
+    Protocol knobs (env): ``AADFF_SLOPE_REPS`` overrides n_reps when the
+    caller leaves it None (5 reps gives ~15-20% IQR spreads against this
+    link's multi-ms jitter; 12+ tightens it ~sqrt-fold), and
+    ``AADFF_SLOPE_INTERLEAVE=1`` alternates short/long timed reps after a
+    joint warm-up so slow RTT drift over the session hits both sizes
+    equally instead of biasing the slope.
     """
+    import os
+
+    if n_reps is None:
+        n_reps = int(os.environ.get("AADFF_SLOPE_REPS", 5))
+    interleave = os.environ.get("AADFF_SLOPE_INTERLEAVE") == "1"
     times, raw = {}, {}
-    for size in (n_short, n_long):
-        i = 0
-        for _ in range(n_warm):
-            run(size, i)
-            i += 1
-        ts = []
+    if interleave:
+        counters = {}
+        for size in (n_short, n_long):
+            counters[size] = 0
+            raw[size] = []
+            for _ in range(n_warm):
+                run(size, counters[size])
+                counters[size] += 1
         for _ in range(n_reps):
-            t0 = time.perf_counter()
-            run(size, i)
-            ts.append(time.perf_counter() - t0)
-            i += 1
-        raw[size] = ts
-        times[size] = float(np.median(ts))
+            for size in (n_short, n_long):
+                t0 = time.perf_counter()
+                run(size, counters[size])
+                raw[size].append(time.perf_counter() - t0)
+                counters[size] += 1
+        for size in (n_short, n_long):
+            times[size] = float(np.median(raw[size]))
+        if detail is not None:
+            detail["protocol"] = "interleaved"
+    else:
+        for size in (n_short, n_long):
+            i = 0
+            for _ in range(n_warm):
+                run(size, i)
+                i += 1
+            ts = []
+            for _ in range(n_reps):
+                t0 = time.perf_counter()
+                run(size, i)
+                ts.append(time.perf_counter() - t0)
+                i += 1
+            raw[size] = ts
+            times[size] = float(np.median(ts))
     diffs = np.asarray([tl - ts for tl in raw[n_long] for ts in raw[n_short]])
     dt = float(np.median(diffs))
     if detail is not None:

@@ -144,9 +144,11 @@ def main():
     fds = jnp.asarray(-np.sort(rng.uniform(500, 15000, K2))[::-1].copy(),
                       jnp.float32)
     # distinct image contents per timed call: the tunnel caches repeated
-    # identical executions
+    # identical executions.  Sized for warm-up + reps (AADFF_SLOPE_REPS
+    # raises the slope_rate rep count).
+    n_imgs = 2 + int(os.environ.get("AADFF_SLOPE_REPS", 5))
     imgs = [jnp.asarray(rng.uniform(0, 1, (1, 3, H, W)).astype(np.float32))
-            for _ in range(7)]
+            for _ in range(n_imgs)]
 
     rtt_ms = measure_rtt(n_reps=20)
     print(f"[sweep] link RTT {rtt_ms:.1f} ms", file=sys.stderr)

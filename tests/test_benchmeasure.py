@@ -83,3 +83,48 @@ def test_distinct_rep_indices_per_size():
     # warmups then timed reps, indices distinct within each size
     assert seen == [(2, 0), (2, 1), (2, 2), (2, 3), (2, 4),
                     (4, 0), (4, 1), (4, 2), (4, 3), (4, 4)]
+
+
+def test_interleaved_protocol(monkeypatch):
+    """AADFF_SLOPE_INTERLEAVE=1 warms both sizes, then alternates timed
+    short/long reps (so slow RTT drift cancels in the slope) with distinct,
+    monotonically increasing rep indices per size; AADFF_SLOPE_REPS
+    overrides the default rep count when n_reps is left None."""
+    monkeypatch.setenv("AADFF_SLOPE_INTERLEAVE", "1")
+    monkeypatch.setenv("AADFF_SLOPE_REPS", "3")
+    import aadff_tpu.utils.benchmeasure as bm
+
+    clock = [0.0]
+    monkeypatch.setattr(bm.time, "perf_counter", lambda: clock[0])
+    seen = []
+
+    def run(size, i):
+        seen.append((size, i))
+        clock[0] += 50e-3 + size * 1e-3
+
+    detail = {}
+    rate, _ = bm.slope_rate(run, 2, 4, n_warm=2, detail=detail)
+    assert seen == [(2, 0), (2, 1), (4, 0), (4, 1),        # joint warm-up
+                    (2, 2), (4, 2), (2, 3), (4, 3), (2, 4), (4, 4)]
+    assert np.isclose(rate, 1000.0)
+    assert detail["protocol"] == "interleaved"
+    assert all(len(v) == 3 for v in detail["times_s"].values())
+
+    # linear RTT drift over the session: the blocked protocol times all
+    # short reps first, so the long reps carry ~5 call-positions of extra
+    # drift each; interleaving bounds the positional gap at 1 call. Both
+    # stay biased under drift this aggressive (2 ms/call on a 2 ms work
+    # delta), but interleaved must land decisively closer to the truth.
+    def make_drifting():
+        drift = [0.0]
+
+        def drifting(size, i):
+            drift[0] += 2e-3  # +2 ms fixed cost per successive call
+            clock[0] += 50e-3 + drift[0] + size * 1e-3
+        return drifting
+
+    rate_inter, _ = bm.slope_rate(make_drifting(), 2, 4, n_warm=2)
+    monkeypatch.delenv("AADFF_SLOPE_INTERLEAVE")
+    monkeypatch.delenv("AADFF_SLOPE_REPS")
+    rate_blocked, _ = bm.slope_rate(make_drifting(), 2, 4, n_reps=3, n_warm=2)
+    assert abs(rate_inter - 1000.0) < abs(rate_blocked - 1000.0)
