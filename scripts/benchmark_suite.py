@@ -38,8 +38,11 @@ def bench_render(net):
             jnp.float32)
         for s in (S, s_long)
     }
+    # distinct inputs per rep (tunnel caches identical executions); sized
+    # for warm-up + reps under AADFF_SLOPE_REPS overrides
+    n_imgs = 2 + int(os.environ.get("AADFF_SLOPE_REPS", 5))
     imgs = [jnp.asarray(rng.uniform(0, 1, (1, 3, H, W)).astype(np.float32))
-            for _ in range(7)]
+            for _ in range(n_imgs)]
 
     def run(s, i):
         net.render_stack(imgs[i], depth, fds[s]).block_until_ready()

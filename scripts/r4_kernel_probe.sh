@@ -22,4 +22,14 @@ sleep 150
 echo "=== [probe] $(date +%T) production entry, high-rep wide slope ==="
 timeout 2400 env AADFF_SLOPE_REPS=12 AADFF_SLOPE_INTERLEAVE=1 AADFF_K1=8 AADFF_K2=48 \
   python scripts/bench_fused_kernel.py prodstack-f32
+echo "=== [probe] $(date +%T) prod slope done (rc=$?) ==="
+sleep 150
+
+# The 2026-08-19 tail2 BENCH_SUITE render number hit slope_rate's
+# noise-inversion fallback (spread null, 199 fps vs bench.py's 420 the same
+# session): 5 blocked reps lost the 20-frame work delta to an RTT transient.
+# Re-measure the suite under the interleaved high-rep protocol.
+echo "=== [probe] $(date +%T) benchmark_suite, interleaved protocol ==="
+timeout 2400 env AADFF_SLOPE_REPS=12 AADFF_SLOPE_INTERLEAVE=1 \
+  python scripts/benchmark_suite.py
 echo "=== [probe] ALL DONE $(date +%T) ==="
