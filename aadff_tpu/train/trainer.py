@@ -65,9 +65,10 @@ def guard_nonfinite(ok, new_tree, old_tree):
     )
 
 
-def make_aif_train_step(model: AiFDepthNet, optimizer, task: str,
-                        disp_w=1.0, aif_w=0.0, smooth_w=0.0):
-    @functools.partial(jax.jit, donate_argnums=(0,))
+def _aif_step_body(model: AiFDepthNet, optimizer, task: str,
+                   disp_w=1.0, aif_w=0.0, smooth_w=0.0):
+    """Un-jitted single-step body shared by the per-step and the
+    K-steps-per-dispatch train steps (the two must be the same program)."""
     def train_step(state: TrainState, stack, focus_dists, depth, aif):
         """stack: [B, S, H, W, C]; depth/aif in NCHW like the reference."""
 
@@ -111,6 +112,48 @@ def make_aif_train_step(model: AiFDepthNet, optimizer, task: str,
         return new_state, losses
 
     return train_step
+
+
+def make_aif_train_step(model: AiFDepthNet, optimizer, task: str,
+                        disp_w=1.0, aif_w=0.0, smooth_w=0.0):
+    body = _aif_step_body(model, optimizer, task, disp_w, aif_w, smooth_w)
+    return jax.jit(body, donate_argnums=(0,))
+
+
+def make_aif_train_multi_step(model: AiFDepthNet, optimizer, task: str, lens,
+                              disp_w=1.0, aif_w=0.0, smooth_w=0.0):
+    """K train steps (render included) in ONE device dispatch.
+
+    Real campaigns on this tunnelled chip run ~0.7-0.9 wall steps/s against
+    2.02 device steps/s: each step pays a render dispatch, a train-step
+    dispatch, and a host loss sync over a ~25 ms-RTT link.  Scanning K
+    pre-staged batches inside one jitted program amortizes that fixed cost
+    K-fold — the same structural trick scripts/profile_train_step.py uses to
+    measure the pure device rate (reference epoch loop:
+    /root/reference/2_aber_aware_dff_aif.py:95-126, which has no such
+    overhead to hide because its accelerator is host-local).
+
+    Takes K batches stacked on a leading axis: aif [K,B,C,H,W],
+    depth [K,B,1,H,W], focus_dists [K,B,S].  Returns the advanced state and
+    per-step `losses` stacked to shape [K] per entry, so epoch accumulators
+    see exactly what K individual dispatches would have reported.  The
+    non-finite guard stays per-step (a NaN batch inside the group skips only
+    its own update).  `lens` is closed over: its PSF-surrogate weights are
+    baked into the executable once instead of re-uploaded per call.
+    """
+    body = _aif_step_body(model, optimizer, task, disp_w, aif_w, smooth_w)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi_step(state: TrainState, aif_k, depth_k, fds_k):
+        def scan_body(st, batch):
+            aif, depth, fds = batch
+            stack = render_focal_stack(lens, aif, depth, fds)
+            st, losses = body(st, stack, fds, depth, aif)
+            return st, losses
+
+        return jax.lax.scan(scan_body, state, (aif_k, depth_k, fds_k))
+
+    return multi_step
 
 
 def make_aif_eval_step(model: AiFDepthNet):
@@ -253,25 +296,36 @@ def load_checkpoint(ckpt_dir: str, state: TrainState, name: str = "last"):
     full = dict(to_state_dict(state))
     if "opt_state" not in sd and "step" in sd:
         # Resuming *training* from a stripped checkpoint: a fresh opt_state
-        # would restart both the LR-schedule position and Adam's
-        # bias-correction count at 0, silently resuming at near-peak LR
-        # (round-3 advisor finding).  Re-seed every optimizer `count` from
-        # the saved step so schedules continue where training stopped.
-        # Adam moments still start from zero — prefer resuming from the full
-        # `state` checkpoint when one exists.
+        # would restart the LR-schedule position at 0, silently resuming at
+        # near-peak LR (round-3 advisor finding).  Re-seed the *schedule*
+        # counts (matched by optax state type, not by any dict key named
+        # 'count') from the saved step so schedules continue where training
+        # stopped.  Adam's own ScaleByAdamState.count deliberately stays 0:
+        # its moments are zero here, and seeding the count would make bias
+        # correction assume warm moments — inflating the first few hundred
+        # post-resume updates ~3-6x (round-4 advisor finding).  Prefer
+        # resuming from the full `state` checkpoint when one exists.
         step = np.asarray(sd["step"], np.int32)
+        _SCHEDULE_STATES = ("ScaleByScheduleState", "InjectHyperparamsState",
+                            "InjectStatefulHyperparamsState")
 
-        def _seed_counts(node):
-            if isinstance(node, dict):
-                return {k: (step if k == "count" else _seed_counts(v))
-                        for k, v in node.items()}
+        def _seed_schedule_counts(node):
+            if isinstance(node, tuple) and hasattr(node, "_fields"):
+                if (type(node).__name__ in _SCHEDULE_STATES
+                        and "count" in node._fields):
+                    return node._replace(count=jnp.asarray(step))
+                return type(node)(*(_seed_schedule_counts(v) for v in node))
+            if isinstance(node, (list, tuple)):
+                return type(node)(_seed_schedule_counts(v) for v in node)
             return node
 
-        full["opt_state"] = _seed_counts(full["opt_state"])
+        full["opt_state"] = to_state_dict(
+            _seed_schedule_counts(state.opt_state))
         logging.warning(
-            "checkpoint %s is stripped of opt_state: optimizer counts "
-            "re-seeded to step %d (schedule position kept; Adam moments "
-            "reset)", name, int(step))
+            "checkpoint %s is stripped of opt_state: LR-schedule counts "
+            "re-seeded to step %d; Adam restarts cold (moments AND "
+            "bias-correction count zeroed — updates behave like a fresh "
+            "Adam at the resumed schedule position)", name, int(step))
     full.update(sd)
     return from_state_dict(state, full)
 

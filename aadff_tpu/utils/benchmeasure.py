@@ -62,15 +62,18 @@ def slope_rate(run, n_short, n_long, n_reps=None, n_warm=2, detail=None):
     Protocol knobs (env): ``AADFF_SLOPE_REPS`` overrides n_reps when the
     caller leaves it None (5 reps gives ~15-20% IQR spreads against this
     link's multi-ms jitter; 12+ tightens it ~sqrt-fold), and
-    ``AADFF_SLOPE_INTERLEAVE=1`` alternates short/long timed reps after a
-    joint warm-up so slow RTT drift over the session hits both sizes
-    equally instead of biasing the slope.
+    ``AADFF_SLOPE_INTERLEAVE`` (default ON since round 5 — set ``0`` to get
+    the old blocked order) alternates short/long timed reps after a joint
+    warm-up so slow RTT drift over the session hits both sizes equally
+    instead of biasing the slope.  BENCH_r04 was published from the blocked
+    order's failure mode; the robust protocol must be the default, not
+    opt-in (VERDICT r4 weak #1).
     """
     import os
 
     if n_reps is None:
         n_reps = int(os.environ.get("AADFF_SLOPE_REPS", 5))
-    interleave = os.environ.get("AADFF_SLOPE_INTERLEAVE") == "1"
+    interleave = os.environ.get("AADFF_SLOPE_INTERLEAVE", "1") == "1"
     times, raw = {}, {}
     if interleave:
         counters = {}
@@ -104,6 +107,8 @@ def slope_rate(run, n_short, n_long, n_reps=None, n_warm=2, detail=None):
                 i += 1
             raw[size] = ts
             times[size] = float(np.median(ts))
+        if detail is not None:
+            detail["protocol"] = "blocked"
     diffs = np.asarray([tl - ts for tl in raw[n_long] for ts in raw[n_short]])
     dt = float(np.median(diffs))
     if detail is not None:
@@ -112,6 +117,7 @@ def slope_rate(run, n_short, n_long, n_reps=None, n_warm=2, detail=None):
         q1, q3 = np.percentile(diffs, [25, 75])
         detail["slope_spread_pct"] = (
             round(100.0 * float(q3 - q1) / dt, 1) if dt > 1e-4 else None)
+        detail["fallback"] = dt <= 1e-4
     if dt <= 1e-4:  # 0.1 ms — below anything measurable over this link
         return n_long / times[n_long], times
     return (n_long - n_short) / dt, times

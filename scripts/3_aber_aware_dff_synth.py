@@ -60,6 +60,11 @@ def main():
                     help="run the conv trunk in bfloat16 (params/optimizer/"
                          "losses stay f32) — the step is HBM-bound, see "
                          "docs/DESIGN.md §9")
+    ap.add_argument("--k-per-dispatch", type=int, default=0,
+                    help="group K train steps (render included) into one "
+                         "jitted lax.scan dispatch so the ~25 ms link RTT "
+                         "and per-step host syncs amortize K-fold (0 = one "
+                         "dispatch per step, the reference-shaped loop)")
     ap.add_argument("--time-budget", type=float, default=600.0,
                     help="stop cleanly after the first epoch that ends past "
                          "this many seconds (a SIGTERM kill can wedge the "
@@ -76,6 +81,7 @@ def main():
         create_train_state,
         load_checkpoint,
         make_aif_eval_step,
+        make_aif_train_multi_step,
         make_aif_train_step,
         render_focal_stack,
         save_checkpoint,
@@ -128,6 +134,8 @@ def main():
         print(f"resumed from epoch {start_epoch} (step {int(state.step)})")
 
     train_step = make_aif_train_step(model, optimizer, task)
+    multi_step = (make_aif_train_multi_step(model, optimizer, task, train_lens)
+                  if args_cli.k_per_dispatch > 1 else None)
     eval_step = make_aif_eval_step(model)
 
     if args_cli.eval_only is not None:
@@ -145,9 +153,12 @@ def main():
     end_epoch = min(start_epoch + args_cli.epochs_per_chunk,
                     args_cli.total_epochs)
     budget_anchored = False
+    K = args_cli.k_per_dispatch
     for epoch in range(start_epoch, end_epoch):
         t0 = time.time()
         epoch_loss, n_batches, n_skipped = 0.0, 0, 0
+        pending = []  # staged (aif, depth, fds) batches for the K-step path
+        deferred_losses = []  # K-path loss arrays, synced at epoch end
         for aif, depth in train_loader:
             mask = depth > 0
             avg_depth = depth.sum(axis=(1, 2, 3)) / np.maximum(
@@ -155,20 +166,54 @@ def main():
             if np.isnan(avg_depth).any():
                 continue
             focus_dists = select_focus_dist(depth, n_stack, mode="linear")
-            stack = render_focal_stack(train_lens, aif, depth, focus_dists)
-            state, losses = train_step(
-                state, stack, jnp.asarray(focus_dists, jnp.float32),
-                jnp.asarray(depth), jnp.asarray(aif),
-            )
-            epoch_loss += float(losses["total"])
+            if multi_step is not None:
+                pending.append((aif, depth,
+                                np.asarray(focus_dists, np.float32)))
+                if len(pending) < K:
+                    continue
+                state, losses = multi_step(
+                    state,
+                    jnp.asarray(np.stack([p[0] for p in pending])),
+                    jnp.asarray(np.stack([p[1] for p in pending])),
+                    jnp.asarray(np.stack([p[2] for p in pending])),
+                )
+                pending = []
+                # defer the host sync: keep the per-group losses as device
+                # arrays so assembling + uploading the NEXT group overlaps
+                # the in-flight dispatch instead of blocking on it
+                deferred_losses.append(losses)
+                n_batches += K
+                if not budget_anchored:
+                    jax.block_until_ready(losses["total"])
+            else:
+                stack = render_focal_stack(train_lens, aif, depth, focus_dists)
+                state, losses = train_step(
+                    state, stack, jnp.asarray(focus_dists, jnp.float32),
+                    jnp.asarray(depth), jnp.asarray(aif),
+                )
+                epoch_loss += float(losses["total"])
+                n_skipped += int(losses["skipped_nonfinite"])
+                n_batches += 1
             if not budget_anchored:
                 # the float() above synced the first step, so the backend is
                 # live only now — re-anchor the budget clock so a relay
                 # startup wedge (6-18 min of pre-dispatch futex, verify
                 # SKILL.md) doesn't consume the whole training budget
                 budget_anchored, t_start = True, time.time()
+        # tail of the epoch (< K staged batches): one dispatch per step so
+        # every loaded batch still trains and step counts stay loader-exact
+        for aif, depth, focus_dists in pending:
+            stack = render_focal_stack(train_lens, aif, depth, focus_dists)
+            state, losses = train_step(
+                state, stack, jnp.asarray(focus_dists, jnp.float32),
+                jnp.asarray(depth), jnp.asarray(aif),
+            )
+            epoch_loss += float(losses["total"])
             n_skipped += int(losses["skipped_nonfinite"])
             n_batches += 1
+        for losses in deferred_losses:
+            epoch_loss += float(jnp.sum(losses["total"]))
+            n_skipped += int(jnp.sum(losses["skipped_nonfinite"]))
         mean_loss = epoch_loss / max(n_batches, 1)
         rec = {"epoch": epoch + 1, "loss": round(mean_loss, 5),
                "steps": n_batches, "skipped": n_skipped,

@@ -78,21 +78,20 @@ def test_load_stripped_checkpoint(tiny_state, tmp_path):
     assert int(restored.step) == 42
     for a, b in zip(jax.tree.leaves(bumped), jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # opt_state moments come from the caller's fresh state (zeros), but
-    # optimizer counts are re-seeded from the saved step so LR schedules
-    # keep their position across a stripped resume
+    # opt_state comes back from the caller's fresh state: with a constant
+    # lr there is no schedule count to re-seed, and Adam's own count stays
+    # 0 to match its zeroed moments (r4 advisor finding)
     for a, b in zip(jax.tree.leaves(tiny_state.opt_state),
                     jax.tree.leaves(restored.opt_state)):
-        if np.ndim(b) == 0 and np.asarray(b).dtype.kind == "i":
-            assert int(b) == 42
-        else:
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_stripped_resume_keeps_schedule_position(tmp_path):
     """Resuming training from a stripped checkpoint must not restart the
-    cosine LR schedule at peak (round-3 advisor finding): every optimizer
-    `count` is re-seeded from the saved step."""
+    cosine LR schedule at peak (round-3 advisor finding): the schedule
+    `count` is re-seeded from the saved step — but Adam's own count is NOT
+    (its moments are zero; a warm count would inflate the first few hundred
+    post-resume updates ~3-6x via bias correction, r4 advisor finding)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -120,10 +119,12 @@ def test_stripped_resume_keeps_schedule_position(tmp_path):
                        opt_state=opt.init(params),
                        step=jnp.asarray(0, jnp.int32))
     restored = load_checkpoint(str(tmp_path), fresh, "stripped")
-    counts = [x for x in jax.tree.leaves(restored.opt_state)
-              if np.ndim(x) == 0 and np.asarray(x).dtype.kind == "i"]
-    assert counts, "optimizer state has no count leaves?"
-    assert all(int(c) == 60 for c in counts)
+    adam_r, sched_r = restored.opt_state
+    assert type(sched_r).__name__ == "ScaleByScheduleState"
+    assert int(sched_r.count) == 60      # LR schedule position kept
+    assert int(adam_r.count) == 0        # cold Adam matches zeroed moments
+    assert all(float(np.max(np.abs(m))) == 0.0
+               for m in jax.tree.leaves((adam_r.mu, adam_r.nu)))
     # a full-state resume still restores counts AND moments exactly
     full = load_checkpoint(str(tmp_path), fresh, "full")
     for a, b in zip(jax.tree.leaves(state60.opt_state),
