@@ -1,7 +1,8 @@
 """Multi-step 1-vs-8-device training-trajectory equivalence (SURVEY.md §4
 oracle (d), extended from the single-step checks in test_models.py): ten AiF
 train steps through the in-graph non-finite guard, with BatchNorm running
-stats and a cosine LR schedule.
+stats and a cosine LR schedule — and the same oracle for DFVNet's multi-scale
+loss + BN + guard (reference /root/reference/DFV_models/DFFNet.py:98-119).
 
 Two claims, asserted at the strength each deserves:
 
@@ -136,5 +137,108 @@ def test_aif_train_trajectory_1_vs_8_devices(tmp_path):
     cos = float(jnp.vdot(m1, m8)
                 / (jnp.linalg.norm(m1) * jnp.linalg.norm(m8)))
     assert movement > 1e-3, movement  # the run actually trained
+    assert cos > 0.75, (cos, divergence, movement)
+    assert divergence < 0.6 * movement, (divergence, movement)
+
+
+def test_dfv_train_trajectory_1_vs_8_devices(tmp_path):
+    """Same oracle for the second model family: eight DFVNet train steps
+    (multi-scale masked L1 over the 3D cost-volume regressor, BN running
+    stats, in-graph non-finite guard) on 1 vs 8 devices, with a
+    save/restore round-trip mid-trajectory on the sharded run
+    (VERDICT r4 next-step #8)."""
+    from aadff_tpu.models.dfv import DFVNet
+    from aadff_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from aadff_tpu.train.dff_dfv import make_dfv_train_step
+    from aadff_tpu.train.trainer import (
+        create_train_state,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    model = DFVNet(clean=False, level=2, use_diff=1)
+    B, S, H, W = 8, 4, 64, 64
+    n_steps = 8
+    rng = np.random.default_rng(23)
+    batches = []
+    for i in range(n_steps):
+        stack = rng.uniform(0, 1, (B, S, H, W, 3)).astype(np.float32)
+        if i == 3:
+            stack[:] = np.nan  # guard exercise: both runs must skip this step
+        depth = rng.uniform(0.6, 2.9, (B, 1, H, W)).astype(np.float32)
+        depth[:, :, :4] = 0.0  # dead rows exercise the valid-pixel mask
+        fp = np.broadcast_to(
+            np.linspace(0.5, 3.0, S, dtype=np.float32), (B, S)).copy()
+        batches.append((stack, fp, depth))
+
+    optimizer = optax.adam(
+        optax.cosine_decay_schedule(1e-3, decay_steps=n_steps))
+
+    def fresh_state():
+        return create_train_state(
+            model, optimizer, jnp.asarray(batches[0][0][:1]),
+            jnp.asarray(batches[0][1][:1]), jax.random.PRNGKey(17))
+
+    step = make_dfv_train_step(model, optimizer)
+    params0 = jax.tree.map(jnp.array, fresh_state().params)
+
+    s1 = fresh_state()
+    losses1 = []
+    for stack, fp, depth in batches:
+        s1, l = step(s1, jnp.asarray(stack), jnp.asarray(fp),
+                     jnp.asarray(depth))
+        losses1.append((float(l["total"]), float(l["skipped_nonfinite"])))
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+
+    def run8(with_ckpt_roundtrip):
+        s8 = replicate(mesh, fresh_state())
+        losses = []
+        for i, (stack, fp, depth) in enumerate(batches):
+            b = shard_batch(mesh, dict(stack=stack, fp=fp, depth=depth))
+            s8, l = step(s8, b["stack"], b["fp"], b["depth"])
+            losses.append((float(l["total"]), float(l["skipped_nonfinite"])))
+            if with_ckpt_roundtrip and i == 4:
+                save_checkpoint(str(tmp_path), s8, "dfv_traj")
+                s8 = replicate(mesh,
+                               load_checkpoint(str(tmp_path), fresh_state(),
+                                               "dfv_traj"))
+        return s8, losses
+
+    s8, losses8 = run8(with_ckpt_roundtrip=False)
+    s8r, losses8r = run8(with_ckpt_roundtrip=True)
+
+    # perfect continuation across the checkpoint round-trip
+    assert losses8r == losses8
+    for x, y in zip(jax.tree.leaves((s8.params, s8.batch_stats)),
+                    jax.tree.leaves((s8r.params, s8r.batch_stats))):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # guard fired exactly once, same step, both runs; reported loss zeroed
+    assert losses1[3][1] == 1.0 and losses8[3][1] == 1.0
+    assert sum(s for _, s in losses1) == 1.0
+    assert sum(s for _, s in losses8) == 1.0
+    assert losses1[3][0] == 0.0 and losses8[3][0] == 0.0
+
+    # step-for-step loss agreement at f32 all-reduce reassociation tolerance
+    for k, ((a, _), (b, _)) in enumerate(zip(losses1, losses8)):
+        assert abs(a - b) <= 1e-6 + 2e-3 * abs(a), (k, a, b)
+    assert int(s1.step) == int(s8.step) == n_steps
+
+    # same-trajectory statistic as the AiF oracle (see the comment there:
+    # movement-vector cosine separates coordinate noise from divergence)
+    diffs = [(jnp.asarray(a) - jnp.asarray(b)).ravel()
+             for a, b in zip(jax.tree.leaves(s1.params),
+                             jax.tree.leaves(params0))]
+    diffs8 = [(jnp.asarray(a) - jnp.asarray(b)).ravel()
+              for a, b in zip(jax.tree.leaves(s8.params),
+                              jax.tree.leaves(params0))]
+    m1, m8 = jnp.concatenate(diffs), jnp.concatenate(diffs8)
+    movement = float(jnp.linalg.norm(m1))
+    divergence = _l2(s1.params, s8.params)
+    cos = float(jnp.vdot(m1, m8)
+                / (jnp.linalg.norm(m1) * jnp.linalg.norm(m8)))
+    assert movement > 1e-3, movement
     assert cos > 0.75, (cos, divergence, movement)
     assert divergence < 0.6 * movement, (divergence, movement)
