@@ -40,8 +40,9 @@ def config(path="configs/aber_aware_dff_dfv.yml"):
     return args
 
 
-def make_dfv_train_step(model: DFVNet, optimizer):
-    @functools.partial(jax.jit, donate_argnums=(0,))
+def _dfv_step_body(model: DFVNet, optimizer):
+    """Un-jitted single-step body shared by the per-step and the
+    K-steps-per-dispatch train steps (the two must be the same program)."""
     def train_step(state: TrainState, stack, focus_dists, depth):
         def loss_fn(params):
             (stacked, stds), updates = model.apply(
@@ -70,6 +71,31 @@ def make_dfv_train_step(model: DFVNet, optimizer):
                           opt_state=opt_state, step=state.step + 1), losses
 
     return train_step
+
+
+def make_dfv_train_step(model: DFVNet, optimizer):
+    return jax.jit(_dfv_step_body(model, optimizer), donate_argnums=(0,))
+
+
+def make_dfv_train_multi_step(model: DFVNet, optimizer, lens):
+    """K DFV train steps (render included) in ONE device dispatch — same
+    link-RTT amortization as trainer.make_aif_train_multi_step (see its
+    docstring); inputs are K batches stacked on a leading axis and the
+    returned `losses` entries have shape [K].  The non-finite guard stays
+    per-step inside the scan."""
+    body = _dfv_step_body(model, optimizer)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi_step(state: TrainState, aif_k, depth_k, fds_k):
+        def scan_body(st, batch):
+            aif, depth, fds = batch
+            stack = render_focal_stack(lens, aif, depth, fds)
+            st, losses = body(st, stack, fds, depth)
+            return st, losses
+
+        return jax.lax.scan(scan_body, state, (aif_k, depth_k, fds_k))
+
+    return multi_step
 
 
 def make_dfv_eval_step(model: DFVNet):

@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--workdir", default=os.path.join(REPO, "results/dfv_synth"))
     ap.add_argument("--epochs-per-chunk", type=int, default=6)
     ap.add_argument("--total-epochs", type=int, default=20)
+    ap.add_argument("--k-per-dispatch", type=int, default=0,
+                    help="group K train steps (render included) into one "
+                         "jitted lax.scan dispatch so the ~25 ms link RTT "
+                         "and per-step host syncs amortize K-fold (0 = one "
+                         "dispatch per step, the reference-shaped loop)")
     ap.add_argument("--time-budget", type=float, default=600.0,
                     help="stop cleanly after the first epoch that ends past "
                          "this many seconds (a SIGTERM kill can wedge the "
@@ -63,6 +68,7 @@ def main():
     from aadff_tpu.models.dfv import DFVNet
     from aadff_tpu.train.dff_dfv import (
         make_dfv_eval_step,
+        make_dfv_train_multi_step,
         make_dfv_train_step,
         validate_dfv,
     )
@@ -119,6 +125,8 @@ def main():
         print(f"resumed from epoch {start_epoch} (step {int(state.step)})")
 
     train_step = make_dfv_train_step(model, optimizer)
+    multi_step = (make_dfv_train_multi_step(model, optimizer, train_lens)
+                  if args_cli.k_per_dispatch > 1 else None)
     eval_step = make_dfv_eval_step(model)
 
     if args_cli.eval_only is not None:
@@ -154,27 +162,62 @@ def main():
     end_epoch = min(start_epoch + args_cli.epochs_per_chunk,
                     args_cli.total_epochs)
     budget_anchored = False
+    K = args_cli.k_per_dispatch
     for epoch in range(start_epoch, end_epoch):
         t0 = time.time()
         epoch_loss, n_batches, n_skipped = 0.0, 0, 0
+        pending = []  # staged (aif, depth, fds) batches for the K-step path
+        deferred_losses = []  # K-path loss arrays, synced at epoch end
         for aif, depth in train_loader:
             if np.isnan(depth).any():
                 continue
             focus_dists = select_focus_dist(depth, n_stack, mode="linear")
+            if multi_step is not None:
+                pending.append((aif, depth,
+                                np.asarray(focus_dists, np.float32)))
+                if len(pending) < K:
+                    continue
+                state, losses = multi_step(
+                    state,
+                    jnp.asarray(np.stack([p[0] for p in pending])),
+                    jnp.asarray(np.stack([p[1] for p in pending])),
+                    jnp.asarray(np.stack([p[2] for p in pending])),
+                )
+                pending = []
+                # defer the host sync (see 3_aber_aware_dff_synth.py): the
+                # next group's assembly/upload overlaps the in-flight dispatch
+                deferred_losses.append(losses)
+                n_batches += K
+                if not budget_anchored:
+                    jax.block_until_ready(losses["total"])
+            else:
+                stack = render_focal_stack(train_lens, aif, depth, focus_dists)
+                state, losses = train_step(
+                    state, stack, jnp.asarray(focus_dists, jnp.float32),
+                    jnp.asarray(depth),
+                )
+                epoch_loss += float(losses["total"])
+                n_skipped += int(losses["skipped_nonfinite"])
+                n_batches += 1
+            if not budget_anchored:
+                # the sync above means the backend is live only now —
+                # re-anchor the budget clock so a relay startup wedge
+                # (6-18 min pre-dispatch futex, verify SKILL.md) doesn't
+                # consume the whole training budget
+                budget_anchored, t_start = True, time.time()
+        # tail of the epoch (< K staged batches): one dispatch per step
+        for aif, depth, focus_dists in pending:
             stack = render_focal_stack(train_lens, aif, depth, focus_dists)
             state, losses = train_step(
                 state, stack, jnp.asarray(focus_dists, jnp.float32),
                 jnp.asarray(depth),
             )
             epoch_loss += float(losses["total"])
-            if not budget_anchored:
-                # the float() above synced the first step, so the backend is
-                # live only now — re-anchor the budget clock so a relay
-                # startup wedge (6-18 min of pre-dispatch futex, verify
-                # SKILL.md) doesn't consume the whole training budget
-                budget_anchored, t_start = True, time.time()
             n_skipped += int(losses["skipped_nonfinite"])
             n_batches += 1
+        for losses in deferred_losses:
+            epoch_loss += float(jnp.sum(losses["total"]))
+            n_skipped += int(jnp.sum(losses["skipped_nonfinite"]))
         rec = {"epoch": epoch + 1,
                "loss": round(epoch_loss / max(n_batches, 1), 5),
                "steps": n_batches, "skipped": n_skipped,

@@ -134,3 +134,77 @@ def test_multi_step_matches_single_steps(setup):
                           for x in jax.tree.leaves(sk.batch_stats)])
     rel = float(jnp.linalg.norm(b1 - bk) / jnp.linalg.norm(b1))
     assert rel < 0.05, rel
+
+
+def test_dfv_multi_step_matches_single_steps():
+    """Same contract for the DFV family (dff_dfv.make_dfv_train_multi_step):
+    scanned K-groups must train the same model as K dispatches."""
+    from aadff_tpu.models.dfv import DFVNet
+    from aadff_tpu.psfnet import ThinLens
+    from aadff_tpu.train.dff_dfv import (make_dfv_train_multi_step,
+                                         make_dfv_train_step)
+    from aadff_tpu.train.trainer import create_train_state, render_focal_stack
+
+    H, W, S, B, k = 64, 64, 3, 2, 2  # 32px is below DFVNet's SPP minimum
+    lens = ThinLens(50.0, 1.8, 11, [25.968, 25.968], (H, W))
+    model = DFVNet(clean=False, level=2, use_diff=1)
+    optimizer = optax.adam(optax.cosine_decay_schedule(1e-3, decay_steps=8))
+
+    rng = np.random.default_rng(19)
+    batches = []
+    for i in range(5):  # 2 groups of k=2 + 1 tail batch
+        aif = rng.uniform(0, 1, (B, 3, H, W)).astype(np.float32)
+        depth = rng.uniform(0.6, 2.9, (B, 1, H, W)).astype(np.float32)
+        if i == 2:
+            aif[:] = np.nan  # guard inside a scanned group
+        fds = np.broadcast_to(
+            np.linspace(0.5, 3.0, S, dtype=np.float32), (B, S)).copy()
+        batches.append((aif, depth, fds))
+
+    def fresh():
+        return create_train_state(
+            model, optimizer, jnp.zeros((1, S, H, W, 3), jnp.float32),
+            jnp.zeros((1, S), jnp.float32), jax.random.PRNGKey(9))
+
+    state0 = fresh()
+    p0 = jax.tree.leaves(jax.tree.map(jnp.array, state0).params)
+
+    step = make_dfv_train_step(model, optimizer)
+    s1, recs1 = jax.tree.map(jnp.array, state0), []
+    for aif, depth, fds in batches:
+        stack = render_focal_stack(lens, jnp.asarray(aif), jnp.asarray(depth),
+                                   jnp.asarray(fds))
+        s1, l = step(s1, stack, jnp.asarray(fds), jnp.asarray(depth))
+        recs1.append((float(l["total"]), float(l["skipped_nonfinite"])))
+
+    multi = make_dfv_train_multi_step(model, optimizer, lens)
+    sk, recsk = jax.tree.map(jnp.array, state0), []
+    for g in range(2):
+        group = batches[g * k:(g + 1) * k]
+        sk, l = multi(sk,
+                      jnp.asarray(np.stack([b[0] for b in group])),
+                      jnp.asarray(np.stack([b[1] for b in group])),
+                      jnp.asarray(np.stack([b[2] for b in group])))
+        for j in range(k):
+            recsk.append((float(l["total"][j]),
+                          float(l["skipped_nonfinite"][j])))
+    aif, depth, fds = batches[-1]
+    stack = render_focal_stack(lens, jnp.asarray(aif), jnp.asarray(depth),
+                               jnp.asarray(fds))
+    sk, l = step(sk, stack, jnp.asarray(fds), jnp.asarray(depth))
+    recsk.append((float(l["total"]), float(l["skipped_nonfinite"])))
+
+    assert recs1[2][1] == 1.0 and recsk[2][1] == 1.0
+    assert sum(s for _, s in recsk) == 1.0
+    for i, ((a, _), (b, _)) in enumerate(zip(recs1, recsk)):
+        assert abs(a - b) <= 1e-6 + 2e-3 * abs(a), (i, a, b)
+    assert int(s1.step) == int(sk.step) == len(batches)
+
+    m1 = jnp.concatenate([(jnp.asarray(a) - jnp.asarray(b)).ravel()
+                          for a, b in zip(jax.tree.leaves(s1.params), p0)])
+    mk = jnp.concatenate([(jnp.asarray(a) - jnp.asarray(b)).ravel()
+                          for a, b in zip(jax.tree.leaves(sk.params), p0)])
+    cos = float(jnp.vdot(m1, mk)
+                / (jnp.linalg.norm(m1) * jnp.linalg.norm(mk)))
+    assert float(jnp.linalg.norm(m1)) > 1e-3
+    assert cos > 0.9, cos
