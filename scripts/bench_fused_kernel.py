@@ -164,7 +164,17 @@ def main():
                 compile_s[0] += time.perf_counter() - t0
 
         detail = {}
-        rate_fps, t_med = slope_rate(run, K1, K2, detail=detail)
+        try:
+            rate_fps, t_med = slope_rate(run, K1, K2, detail=detail)
+        except Exception as e:
+            # a config can be unbuildable on this chip (e.g. a tall tile
+            # overflowing VMEM) — record it and keep sweeping the rest
+            rec = {"config": spec, "error": f"{type(e).__name__}: {e}"[:300],
+                   "date": time.strftime("%Y-%m-%d")}
+            print(json.dumps(rec))
+            with open(out_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            continue
         ms_frame = 1e3 / rate_fps
         rec = {
             "config": spec, "device_ms_per_frame": round(ms_frame, 3),
