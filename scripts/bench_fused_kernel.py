@@ -1,15 +1,20 @@
 """A/B the fused-render kernel configs on the real TPU (VERDICT r2 #1b).
 
 Times the production frame render (480x640, ks=11) for each (path, dtype,
-tile) config by the two-point SLOPE between a K2-frame and a K1-frame
-program (both `lax.map` over frames):
+tile) config by the two-point SLOPE between a K2-iteration and a
+K1-iteration `lax.fori_loop` around an N_FRAMES-frame render, each loop a
+single dispatch:
 
-    device_ms_per_frame = (T(K2) - T(K1)) / (K2 - K1)
+    device_ms_per_frame = (T(K2) - T(K1)) / ((K2 - K1) * N_FRAMES)
 
-which cancels every fixed per-dispatch cost exactly.  (The earlier
-subtract-RTT variant under-corrected: the fixed cost per dispatch is ~70 ms
-on this link — RTT plus host->device input upload plus per-dispatch weight
-prep — not just the ~30 ms RTT; see docs/kernel_sweep.jsonl `method` field.)
+which cancels every fixed per-dispatch cost exactly — and, unlike the
+earlier frame-count slope (K2=24 vs K1=8 frames, ~30 ms work delta), puts
+a (K2-K1)*N_FRAMES ≈ 60-frame ≈ 115 ms work delta against the link's
+multi-ms jitter, the same structural fix bench.py uses (a 2026-08-20
+session with ~157 ms/dispatch fixed cost pushed the frame-count slope's
+spread to 291%; the fori_loop slope measured 1.1% the same morning).
+The loop body perturbs its input with the iteration index so XLA can
+neither hoist the render nor DCE it.
 
 Usage: python scripts/bench_fused_kernel.py [config ...]
   config: fused-f32-8x128 | fused-bf16-32x128 | mlponly-bf16-32x128 |
@@ -36,10 +41,10 @@ REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 LENS = os.path.join(REPO, "lenses/rf50mm.json")
 CKPT = os.path.join(REPO, "ckpt/rf50mm/psfnet_480x640_ks11.msgpack")
 H, W, KS = 480, 640, 11
-# slope frame counts; override to probe S-dependence (e.g. AADFF_K2=30 to
-# reproduce bench.py's S-slope upper point)
-K1 = int(os.environ.get("AADFF_K1", 8))
-K2 = int(os.environ.get("AADFF_K2", 24))
+# slope loop counts (fori_loop iterations around the N_FRAMES-frame render)
+K1 = int(os.environ.get("AADFF_K1", 2))
+K2 = int(os.environ.get("AADFF_K2", 8))
+N_FRAMES = int(os.environ.get("AADFF_NFRAMES", 10))
 # W=640 = 5*128 fixes tw=128; the pixel-batch widening axis is th.
 DEFAULT_SWEEP = [
     "fused-f32-8x128", "fused-bf16-8x128",
@@ -141,7 +146,7 @@ def main():
     net.load_net(CKPT)
     rng = np.random.default_rng(0)
     depth = jnp.asarray(-rng.uniform(500, 15000, (1, 1, H, W)).astype(np.float32))
-    fds = jnp.asarray(-np.sort(rng.uniform(500, 15000, K2))[::-1].copy(),
+    fds = jnp.asarray(-np.sort(rng.uniform(500, 15000, N_FRAMES))[::-1].copy(),
                       jnp.float32)
     # distinct image contents per timed call: the tunnel caches repeated
     # identical executions.  Sized for warm-up + reps (AADFF_SLOPE_REPS
@@ -153,19 +158,32 @@ def main():
     rtt_ms = measure_rtt(n_reps=20)
     print(f"[sweep] link RTT {rtt_ms:.1f} ms", file=sys.stderr)
     out_path = os.path.join(REPO, "docs", "kernel_sweep.jsonl")
+    import functools
+
     for spec in specs:
         fn = build_fn(net, spec)
         compile_s = [0.0]
 
-        def run(k, i, fn=fn):
+        @functools.partial(jax.jit, static_argnums=0)
+        def loop(k, variables, img, depth, fds, fn=fn):
+            # the body input varies with i so XLA cannot hoist the render
+            # out of the loop; the carry consumes the output against DCE
+            def body(i, carry):
+                out = fn(variables,
+                         img * (1.0 + 1e-6 * i.astype(jnp.float32)),
+                         depth, fds)
+                return carry + out.ravel()[0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+        def run(k, i, loop=loop, compile_s=compile_s):
             t0 = time.perf_counter()
-            fn(net.variables, imgs[i], depth, fds[:k]).block_until_ready()
-            if i == 0:  # first call per size = compile
+            loop(k, net.variables, imgs[i], depth, fds).block_until_ready()
+            if i == 0:  # first call per loop count = compile
                 compile_s[0] += time.perf_counter() - t0
 
         detail = {}
         try:
-            rate_fps, t_med = slope_rate(run, K1, K2, detail=detail)
+            loops_per_sec, t_med = slope_rate(run, K1, K2, detail=detail)
         except Exception as e:
             # a config can be unbuildable on this chip (e.g. a tall tile
             # overflowing VMEM) — record it and keep sweeping the rest
@@ -175,16 +193,18 @@ def main():
             with open(out_path, "a") as f:
                 f.write(json.dumps(rec) + "\n")
             continue
+        rate_fps = loops_per_sec * N_FRAMES
         ms_frame = 1e3 / rate_fps
         rec = {
             "config": spec, "device_ms_per_frame": round(ms_frame, 3),
             "compute_fps": round(rate_fps, 1),
             "slope_spread_pct": detail.get("slope_spread_pct"),
+            "slope_protocol": detail.get("protocol"),
             "dispatch_ms": {k: round(v * 1e3, 1) for k, v in t_med.items()},
             "fixed_ms_per_dispatch": round(
-                t_med[K1] * 1e3 - K1 * ms_frame, 1),
+                t_med[K1] * 1e3 - K1 * N_FRAMES * ms_frame, 1),
             "link_roundtrip_ms": round(rtt_ms, 2),
-            "method": f"slope K1={K1} K2={K2}",
+            "method": f"slope fori_loop k1={K1} k2={K2} x {N_FRAMES} frames",
             "compile_s": round(compile_s[0], 1),
             "date": time.strftime("%Y-%m-%d"),
         }

@@ -27,29 +27,47 @@ H, W, KS, S = 480, 640, 11, 10
 
 def bench_render(net):
     """(wall_fps, compute_fps): wall for the production 10-frame stack
-    dispatch, compute via the two-point slope that cancels the 70-110 ms
-    fixed per-dispatch cost (same method as bench.py)."""
-    s_long = 30
+    dispatch; compute via the slope between a k2- and a k1-iteration
+    `fori_loop` around the full S-frame render, each loop one dispatch
+    (bench.py's protocol — the (k2-k1)*S ≈ 60-frame work delta dwarfs link
+    jitter, unlike the previous 10-vs-30-frame S-slope whose ~40 ms delta
+    fell into the noise-inversion fallback in the 2026-08-19 suite run)."""
+    import functools
+
+    k1, k2 = 2, 8
     rng = np.random.default_rng(0)
     depth = jnp.asarray(-rng.uniform(500, 15000, (1, 1, H, W)).astype(np.float32))
-    fds = {
-        s: jnp.asarray(
-            -np.sort(rng.uniform(500, 15000, (1, s)))[:, ::-1].copy(),
-            jnp.float32)
-        for s in (S, s_long)
-    }
+    fds = jnp.asarray(
+        -np.sort(rng.uniform(500, 15000, (1, S)))[:, ::-1].copy(), jnp.float32)
     # distinct inputs per rep (tunnel caches identical executions); sized
     # for warm-up + reps under AADFF_SLOPE_REPS overrides
     n_imgs = 2 + int(os.environ.get("AADFF_SLOPE_REPS", 5))
     imgs = [jnp.asarray(rng.uniform(0, 1, (1, 3, H, W)).astype(np.float32))
             for _ in range(n_imgs)]
 
-    def run(s, i):
-        net.render_stack(imgs[i], depth, fds[s]).block_until_ready()
+    @functools.partial(jax.jit, static_argnums=0)
+    def render_loop(k, img, depth, fds):
+        def body(i, carry):
+            out = net.render_stack(img * (1.0 + 1e-6 * i.astype(jnp.float32)),
+                                   depth, fds)
+            return carry + out[0, 0, 0, 0, 0]
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    def run(k, i):
+        render_loop(k, imgs[i], depth, fds).block_until_ready()
 
     detail = {}
-    compute_fps, times = slope_rate(run, S, s_long, detail=detail)
-    return S / times[S], compute_fps, detail.get("slope_spread_pct")
+    loops_per_sec, _ = slope_rate(run, k1, k2, detail=detail)
+    compute_fps = (None if detail.get("fallback") else loops_per_sec * S)
+
+    net.render_stack(imgs[0], depth, fds).block_until_ready()  # warm
+    wall_ts = []
+    for i in range(1, 4):
+        t0 = time.perf_counter()
+        net.render_stack(imgs[i], depth, fds).block_until_ready()
+        wall_ts.append(time.perf_counter() - t0)
+    wall_fps = S / float(np.median(wall_ts))
+    return wall_fps, compute_fps, detail.get("slope_spread_pct")
 
 
 def bench_psfs(net, spp=4096, n_short=128, n_long=512):
@@ -157,7 +175,11 @@ def main():
         "date": time.strftime("%Y-%m-%d"),
         "link_roundtrip_ms": round(rtt_ms, 2),
         "render_dtype": net.render_dtype,
-        "render_fps_device_480x640_ks11": round(compute_fps, 2),
+        # null when the slope fell into the noise-inversion fallback — a
+        # wall rate must never be published as device throughput
+        "render_fps_device_480x640_ks11": (round(compute_fps, 2)
+                                           if compute_fps is not None
+                                           else None),
         "render_slope_spread_pct": spread_pct,
         "render_fps_wall_480x640_ks11": round(wall_fps, 2),
         "raytraced_psfs_per_sec_spp4096": round(bench_psfs(net), 1),

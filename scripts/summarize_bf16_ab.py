@@ -1,26 +1,39 @@
 """Summarize the bf16-trunk quality A/B (VERDICT r4 weak #7 / next-step #6).
 
-Two same-seed AiF cells at the real operating point (bs=2, stack=8, 480x640,
-lr 1e-4 cosine over 12 epochs): f32 vs AiFDepthNet(dtype=bfloat16) via
---bf16.  The decision rule DESIGN.md section 9 asked for: flip the campaign
-default to bf16 iff its val-metric band overlaps f32's (quality holds) —
-the measured -12.9% step time is then free budget.
+Round-5 design: instead of two dedicated cells, the bf16 side is a TWIN of
+the 60-epoch campaign's aberration-aware cell — same seed (126), same
+lr=1e-4 cosine over 60 epochs, same data order, validation every 3 —
+trained with `--bf16` (AiFDepthNet(dtype=bfloat16)) and stopped at epoch 12
+(results/r5_bf16_ab/bf16).  The f32 control is the campaign cell itself
+(results/dff_synth_r5/aif_ab) truncated to the same epoch budget, so the
+control costs no extra chip time.  The decision rule DESIGN.md section 9
+asked for: flip the campaign default to bf16 iff its val-metric band
+overlaps f32's (quality holds) — the measured -12.9% step time is then
+free budget.
 """
 import json
 import os
 
 ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
+CELLS = {
+    "f32": "results/dff_synth_r5/aif_ab",     # campaign cell = control
+    "bf16": "results/r5_bf16_ab/bf16",        # --bf16 twin, stopped at ep 12
+}
 
-def cell(name):
-    wd = os.path.join(ROOT, "results/r5_bf16_ab", name)
+
+def cell(wd, max_epoch=None):
+    wd = os.path.join(ROOT, wd)
     train = [json.loads(l) for l in open(os.path.join(wd, "train_log.jsonl"))]
     try:
         val = [json.loads(l) for l in open(os.path.join(wd, "metrics.jsonl"))]
     except FileNotFoundError:
         val = []
+    if max_epoch is not None:
+        train = [r for r in train if r["epoch"] <= max_epoch]
+        val = [r for r in val if r["epoch"] <= max_epoch]
     out = {
-        "epochs_trained": max(r["epoch"] for r in train),
+        "epochs_compared": max(r["epoch"] for r in train),
         "train_l1_by_epoch": {r["epoch"]: r["loss"] for r in train},
         "mean_epoch_sec": round(
             sum(r["sec"] for r in train if r["epoch"] > 1)
@@ -35,8 +48,12 @@ def cell(name):
 
 
 def main():
-    cells = {name: cell(name) for name in ("f32", "bf16")}
-    summary = {"campaign": "r5 bf16-trunk quality A/B (same seed, 12-epoch cosine)",
+    bf16 = cell(CELLS["bf16"])
+    budget = bf16["epochs_compared"]
+    cells = {"bf16": bf16, "f32": cell(CELLS["f32"], max_epoch=budget)}
+    summary = {"campaign": "r5 bf16-trunk quality A/B — bf16 twin of the "
+                           "60-epoch campaign ab cell (same seed/schedule/"
+                           f"data order), compared at epoch <= {budget}",
                "cells": cells}
     if all("val_abs_rel_best" in c for c in cells.values()):
         f32b = cells["f32"]["val_abs_rel_best"]
