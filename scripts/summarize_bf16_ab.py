@@ -54,6 +54,12 @@ def main():
     summary = {"campaign": "r5 bf16-trunk quality A/B — bf16 twin of the "
                            "60-epoch campaign ab cell (same seed/schedule/"
                            f"data order), compared at epoch <= {budget}",
+               "timing_note": "mean_epoch_sec is NOT the dtype timing claim: "
+                              "the cells span different chunk counts and each "
+                              "chunk restart pays a compile epoch.  The "
+                              "controlled step-time number is the -12.9% "
+                              "measured in docs/step_variant_profile.jsonl "
+                              "(DESIGN.md section 9).",
                "cells": cells}
     if all("val_abs_rel_best" in c for c in cells.values()):
         f32b = cells["f32"]["val_abs_rel_best"]
