@@ -22,6 +22,11 @@ RETEX=datasets/SynthMiddlebury/test_retex
 TOTAL=60
 COOL=${R5_COOL:-150}
 KDISP=${R5_KDISP:-8}
+# Per-chunk training wall budget.  480s chunks spend ~40% of wall on
+# process startup + the resume-compile epoch + cooldown (~6 epochs/chunk
+# measured 2026-08-20); long chunks amortise that fixed cost.  Must stay
+# comfortably under the 2100s timeout incl. startup and the final save.
+CHUNK_BUDGET=${R5_CHUNK_BUDGET:-480}
 DEADLINE=${R5_DEADLINE_TS:-$(( $(date +%s) + 7200 ))}
 
 ep_of() {
@@ -32,7 +37,8 @@ ep_of() {
 chunk() {  # config workdir
   timeout 2100 python scripts/3_aber_aware_dff_synth.py --config "$1" \
     --workdir "$2" --total-epochs $TOTAL --epochs-per-chunk $TOTAL \
-    --time-budget 480 --lr 1e-4 --validate-every 3 --k-per-dispatch $KDISP
+    --time-budget $CHUNK_BUDGET --lr 1e-4 --validate-every 3 \
+    --k-per-dispatch $KDISP
   sleep $COOL
 }
 
