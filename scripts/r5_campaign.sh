@@ -27,6 +27,11 @@ KDISP=${R5_KDISP:-8}
 # measured 2026-08-20); long chunks amortise that fixed cost.  Must stay
 # comfortably under the 2100s timeout incl. startup and the final save.
 CHUNK_BUDGET=${R5_CHUNK_BUDGET:-480}
+# Validation cadence.  Each 12-scene validation pass costs ~90s of wall
+# through the tunnel (renders 8 test-lens frames/scene + CPU metrics), so
+# val-every-3 adds ~30s/epoch to a 30s/epoch train rate.  6 keeps the
+# best-checkpoint MSE gate at a usable granularity at half the cost.
+VAL_EVERY=${R5_VAL_EVERY:-3}
 DEADLINE=${R5_DEADLINE_TS:-$(( $(date +%s) + 7200 ))}
 
 ep_of() {
@@ -35,9 +40,12 @@ ep_of() {
 }
 
 chunk() {  # config workdir
-  timeout 2100 python scripts/3_aber_aware_dff_synth.py --config "$1" \
+  # 2400s guard = CHUNK_BUDGET up to ~1700s + worst-case cold startup
+  # (~330s of tunnel compiles) + the final epoch/val/save past the budget
+  # check.  The budget check exits CLEANLY; the timeout is a wedge guard.
+  timeout 2400 python scripts/3_aber_aware_dff_synth.py --config "$1" \
     --workdir "$2" --total-epochs $TOTAL --epochs-per-chunk $TOTAL \
-    --time-budget $CHUNK_BUDGET --lr 1e-4 --validate-every 3 \
+    --time-budget $CHUNK_BUDGET --lr 1e-4 --validate-every $VAL_EVERY \
     --k-per-dispatch $KDISP
   sleep $COOL
 }
