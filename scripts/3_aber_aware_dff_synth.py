@@ -60,6 +60,11 @@ def main():
                     help="run the conv trunk in bfloat16 (params/optimizer/"
                          "losses stay f32) — the step is HBM-bound, see "
                          "docs/DESIGN.md §9")
+    ap.add_argument("--save-every", type=int, default=1,
+                    help="save the full train state every N epochs (it is "
+                         "~200 MB across the tunnel, ~15 s; progress.json "
+                         "advances only with a save, so a kill retrains at "
+                         "most N-1 epochs)")
     ap.add_argument("--k-per-dispatch", type=int, default=0,
                     help="group K train steps (render included) into one "
                          "jitted lax.scan dispatch so the ~25 ms link RTT "
@@ -222,12 +227,21 @@ def main():
         with open(os.path.join(args_cli.workdir, "train_log.jsonl"), "a") as f:
             f.write(json.dumps(rec) + "\n")
 
-        save_checkpoint(args_cli.workdir, state, "state")
-        progress["epoch"] = epoch + 1
-        # persist progress immediately: if the chunk is killed during the
-        # validation below, the completed epoch must not be re-trained
-        with open(progress_path, "w") as f:
-            json.dump(progress, f)
+        # The full train state is ~200 MB and must cross the tunnel on save
+        # (~15 s measured), so --save-every thins the cadence; progress.json
+        # only advances WITH a saved checkpoint, so a kill between saves
+        # retrains at most save_every-1 epochs instead of resuming into a
+        # state file that does not exist.
+        def _persist():
+            save_checkpoint(args_cli.workdir, state, "state")
+            progress["epoch"] = epoch + 1
+            with open(progress_path, "w") as f:
+                json.dump(progress, f)
+
+        saved = False
+        if (epoch + 1) % args_cli.save_every == 0 or epoch + 1 == end_epoch:
+            _persist()
+            saved = True
 
         if (epoch + 1) % args_cli.validate_every == 0 or epoch + 1 == args_cli.total_epochs:
             scores = validate(eval_step, state, test_lens, val_loader, n_stack,
@@ -248,6 +262,8 @@ def main():
             json.dump(progress, f)
 
         if time.time() - t_start > args_cli.time_budget:
+            if not saved:
+                _persist()
             print(f"time budget reached after epoch {epoch + 1}; exiting cleanly")
             break
 

@@ -32,6 +32,9 @@ CHUNK_BUDGET=${R5_CHUNK_BUDGET:-480}
 # val-every-3 adds ~30s/epoch to a 30s/epoch train rate.  6 keeps the
 # best-checkpoint MSE gate at a usable granularity at half the cost.
 VAL_EVERY=${R5_VAL_EVERY:-3}
+# Full-state saves cross the tunnel at ~15s each; every-3 caps the
+# retrain-on-kill cost at 2 epochs while cutting ~10s/epoch of overhead.
+SAVE_EVERY=${R5_SAVE_EVERY:-3}
 DEADLINE=${R5_DEADLINE_TS:-$(( $(date +%s) + 7200 ))}
 
 ep_of() {
@@ -40,13 +43,13 @@ ep_of() {
 }
 
 chunk() {  # config workdir
-  # 2400s guard = CHUNK_BUDGET up to ~1700s + worst-case cold startup
-  # (~330s of tunnel compiles) + the final epoch/val/save past the budget
-  # check.  The budget check exits CLEANLY; the timeout is a wedge guard.
-  timeout 2400 python scripts/3_aber_aware_dff_synth.py --config "$1" \
+  # Guard = CHUNK_BUDGET + worst-case cold startup (~330s of tunnel
+  # compiles) + the final epoch/val/save past the budget check.  The budget
+  # check exits CLEANLY; the timeout is a wedge guard.
+  timeout $(( CHUNK_BUDGET + 750 )) python scripts/3_aber_aware_dff_synth.py --config "$1" \
     --workdir "$2" --total-epochs $TOTAL --epochs-per-chunk $TOTAL \
     --time-budget $CHUNK_BUDGET --lr 1e-4 --validate-every $VAL_EVERY \
-    --k-per-dispatch $KDISP
+    --save-every $SAVE_EVERY --k-per-dispatch $KDISP
   sleep $COOL
 }
 
